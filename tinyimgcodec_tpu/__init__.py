@@ -1,0 +1,56 @@
+"""tinyimgcodec_tpu: a TPU-native grayscale JPEG-style codec framework.
+
+A from-scratch JAX/XLA/Pallas re-architecture of the capabilities of
+clysto/tinyimgcodec: 8x8 block transform coding (DCT -> quantize -> zig-zag
+-> DC DPCM) with JPEG Annex K Huffman entropy coding, designed TPU-first:
+
+- the transform stage runs as batched 8x8 matmuls / fused Pallas kernels
+  over HBM-resident block tensors;
+- entropy coding (RLE, code/length gathers, bit packing) is vectorized on
+  device via parallel prefix sums instead of per-block host loops;
+- multi-chip scale-out shards images and block-tiles over a
+  ``jax.sharding.Mesh`` and stitches per-shard bitstream segments with
+  ICI collectives.
+
+Public API (superset of the reference's ``encode, decode, compress,
+decompress``, /root/reference/tinyimgcodec/__init__.py:1-5):
+
+- ``compress(image, quality) -> bytes`` / ``decompress(bytes) -> image``:
+  one-call codec; uses the TPU pipeline when a TPU is available, the host
+  golden path otherwise.
+- ``encode(image, quality) -> CodecArrays`` / ``decode(CodecArrays) ->
+  image``: array-level API (self-consistent, unlike the reference --
+  SURVEY quirk 2.5-4).
+"""
+
+from __future__ import annotations
+
+from .constants import (
+    AC,
+    DC,
+    EOB,
+    LUMINANCE_QUANTIZATION_TABLE,
+    ZIGZAG_ORDER,
+    ZRL,
+)
+from .golden import CodecArrays
+from .golden import decode_arrays as decode
+from .golden import encode_arrays as encode
+from .api import compress, decompress
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "encode",
+    "decode",
+    "compress",
+    "decompress",
+    "CodecArrays",
+    "LUMINANCE_QUANTIZATION_TABLE",
+    "ZIGZAG_ORDER",
+    "EOB",
+    "ZRL",
+    "DC",
+    "AC",
+    "__version__",
+]

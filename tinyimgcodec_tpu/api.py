@@ -1,0 +1,62 @@
+"""Top-level one-call codec API.
+
+``compress``/``decompress`` mirror the reference's byte-level entry points
+(reference codec.py:133-189) but route through the TPU pipeline when
+available (``tinyimgcodec_tpu.engine``), falling back to the host golden
+path.  Selection can be forced with ``backend=``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import container
+
+_ENGINE = None
+_ENGINE_FAILED = False
+
+
+def _get_engine():
+    """Lazily construct the JAX pipeline engine (imports jax on demand)."""
+    global _ENGINE, _ENGINE_FAILED
+    if _ENGINE is None and not _ENGINE_FAILED:
+        try:
+            from .engine import Engine
+
+            _ENGINE = Engine()
+        except Exception:
+            _ENGINE_FAILED = True
+    return _ENGINE
+
+
+def compress(
+    image: np.ndarray,
+    quality: int = 50,
+    auto_generate_huffman_table: bool = False,
+    backend: str = "auto",
+) -> bytes:
+    """Grayscale image (H, W) -> compressed bytes.
+
+    backend: "auto" (TPU/JAX when available), "jax", or "host".
+    """
+    image = np.asarray(image)
+    if image.ndim != 2:
+        raise ValueError("expected a 2-D grayscale image")
+    if backend in ("auto", "jax") and not auto_generate_huffman_table:
+        engine = _get_engine()
+        if engine is not None:
+            return engine.compress(image, quality)
+        if backend == "jax":
+            raise RuntimeError("JAX engine unavailable")
+    return container.compress(image, quality, auto_generate_huffman_table)
+
+
+def decompress(data: bytes, backend: str = "auto") -> np.ndarray:
+    """Compressed bytes -> uint8 image (H, W)."""
+    if backend in ("auto", "jax"):
+        engine = _get_engine()
+        if engine is not None:
+            return engine.decompress(data)
+        if backend == "jax":
+            raise RuntimeError("JAX engine unavailable")
+    return container.decompress(data)

@@ -1,0 +1,147 @@
+"""Dynamic Huffman table construction (canonical, length-limited).
+
+Replaces the reference's raw-tree builder (huffman.py:112-194) with a
+canonical, 16-bit length-limited code constructor: the reference assigns raw
+tree-depth codes with no length limiting, so a skewed symbol distribution can
+emit codes its own 16-bit-capped reader (huffman.py:69-73) cannot decode
+(SURVEY 3.5).  Canonical codes also serialize compactly and decode with the
+same LUT machinery as the static Annex K tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+from collections import Counter
+
+import numpy as np
+
+from .constants import AC, DC
+from .golden import CodecArrays, bits_required, run_length_encode
+
+MAX_CODE_LENGTH = 16
+
+
+def _huffman_code_lengths(freqs: dict, max_len: int = MAX_CODE_LENGTH) -> dict:
+    """Symbol -> code length, optimal then length-limited.
+
+    Deterministic: ties broken by symbol insertion order.  Length limiting
+    uses the JPEG Annex K.3 style adjustment (move leaves up the tree).
+    """
+    symbols = list(freqs)
+    if not symbols:
+        return {}
+    if len(symbols) == 1:
+        return {symbols[0]: 1}
+    heap: list[tuple[int, int, tuple]] = []
+    for order, sym in enumerate(symbols):
+        heapq.heappush(heap, (freqs[sym], order, (sym,)))
+    next_order = len(symbols)
+    depth: dict = {s: 0 for s in symbols}
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        merged = g1 + g2
+        for s in merged:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, next_order, merged))
+        next_order += 1
+
+    # Length-limit: count codes per length, push overlong leaves up.
+    counts = Counter(depth.values())
+    bits = [counts.get(l, 0) for l in range(0, max(counts) + 1)]
+    while len(bits) - 1 > max_len:
+        top = len(bits) - 1
+        # Remove two leaves from the deepest level: one moves to top-1's
+        # sibling slot, pairing with a leaf pulled down from the nearest
+        # shallower populated level.
+        j = top - 2
+        while bits[j] == 0:
+            j -= 1
+        bits[top] -= 2
+        bits[top - 1] += 1
+        bits[j + 1] += 2
+        bits[j] -= 1
+        while bits and bits[-1] == 0:
+            bits.pop()
+
+    # Reassign lengths canonically: sort symbols by (orig length, freq desc
+    # is implicit in length; tie-break by symbol repr for determinism).
+    ordered = sorted(depth, key=lambda s: (depth[s], repr(s)))
+    lengths: dict = {}
+    idx = 0
+    for l, n in enumerate(bits):
+        for _ in range(n):
+            lengths[ordered[idx]] = l
+            idx += 1
+    return lengths
+
+
+def _canonical_codes(lengths: dict) -> dict:
+    """Symbol -> (code, length) with canonical ordering (length, symbol)."""
+    ordered = sorted(lengths, key=lambda s: (lengths[s], repr(s)))
+    out: dict = {}
+    code = 0
+    prev_len = 0
+    for sym in ordered:
+        l = lengths[sym]
+        code <<= l - prev_len
+        out[sym] = (code, l)
+        code += 1
+        prev_len = l
+    return out
+
+
+@dataclasses.dataclass
+class HuffmanSpec:
+    """Numeric code tables for one stream (DC categories + AC (run,size))."""
+
+    dc_code: np.ndarray  # (12,) uint32
+    dc_len: np.ndarray   # (12,) int32 (0 = symbol absent)
+    ac_code: np.ndarray  # (16, 11) uint32
+    ac_len: np.ndarray   # (16, 11) int32
+
+    def string_tables(self) -> dict[str, dict]:
+        dc = {
+            cat: format(int(self.dc_code[cat]), f"0{int(self.dc_len[cat])}b")
+            for cat in range(12)
+            if self.dc_len[cat]
+        }
+        ac = {}
+        for run in range(16):
+            for size in range(11):
+                l = int(self.ac_len[run, size])
+                if l:
+                    ac[(run, size)] = format(
+                        int(self.ac_code[run, size]), f"0{l}b"
+                    )
+        return {DC: dc, AC: ac}
+
+
+def build_huffman_spec(arrays: CodecArrays) -> HuffmanSpec:
+    """Frequency-optimal tables for one image's coefficients.
+
+    Counterpart of reference calc_huffman_table (huffman.py:101-109), but
+    canonical and 16-bit-limited.
+    """
+    dc_syms = [int(c) for c in bits_required(arrays.dc)]
+    ac_syms: list[tuple[int, int]] = []
+    for row in arrays.ac:
+        for run, value in run_length_encode(row):
+            ac_syms.append((run, int(bits_required(np.int32(value)))))
+    dc_lengths = _huffman_code_lengths(Counter(dc_syms))
+    ac_lengths = _huffman_code_lengths(Counter(ac_syms))
+    dc_codes = _canonical_codes(dc_lengths)
+    ac_codes = _canonical_codes(ac_lengths)
+
+    dc_code = np.zeros(12, dtype=np.uint32)
+    dc_len = np.zeros(12, dtype=np.int32)
+    for sym, (c, l) in dc_codes.items():
+        dc_code[sym] = c
+        dc_len[sym] = l
+    ac_code = np.zeros((16, 11), dtype=np.uint32)
+    ac_len = np.zeros((16, 11), dtype=np.int32)
+    for (run, size), (c, l) in ac_codes.items():
+        ac_code[run, size] = c
+        ac_len[run, size] = l
+    return HuffmanSpec(dc_code, dc_len, ac_code, ac_len)
