@@ -13,12 +13,28 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Env vars alone do not displace an already-registered accelerator plugin
+# in this environment; pin the config explicitly before any computation.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pytest
+
+# persistent XLA compile cache: the df32 graphs are large and recompile
+# slowly; cache across test sessions
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/tinyimgcodec_tpu/xla-cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 REFERENCE_ROOT = "/root/reference"
 

@@ -1,0 +1,76 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import synthetic_image
+from tinyimgcodec_tpu import container
+from tinyimgcodec_tpu.parallel import make_mesh
+from tinyimgcodec_tpu.parallel.batch import compress_batch
+from tinyimgcodec_tpu.parallel.tiled import encode_tiled
+
+
+def _n_devices():
+    import jax
+
+    return len(jax.devices())
+
+
+def test_mesh_has_8_virtual_devices():
+    assert _n_devices() == 8
+
+
+@pytest.mark.parametrize("n", [2, 8])
+def test_tiled_encode_matches_single_device(n):
+    img = synthetic_image(96, 128, seed=41)  # 192 blocks over n shards
+    mesh = make_mesh(n)
+    data = encode_tiled(img, 50, mesh=mesh)
+    assert data == container.compress(img, 50)
+
+
+def test_tiled_encode_device_assembly():
+    img = synthetic_image(96, 128, seed=41)
+    mesh = make_mesh(4)
+    dev = encode_tiled(img, 50, mesh=mesh, assemble="device")
+    host = container.compress(img, 50)
+    # device assembly resolves exact ties by correct rounding; streams may
+    # differ in rare coefficients but must decode to the same quality
+    a = container.decompress(dev).astype(float)
+    b = container.decompress(host).astype(float)
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() <= 2.0
+    assert abs(len(dev) - len(host)) <= 8
+
+
+def test_tiled_nonmultiple_blocks():
+    # 5x7=35 blocks over 8 shards -> padding exercised
+    img = synthetic_image(40, 56, seed=42)
+    data = encode_tiled(img, 50, mesh=make_mesh(8))
+    assert data == container.compress(img, 50)
+
+
+def test_tiled_quality_sweep():
+    img = synthetic_image(64, 64, seed=43)
+    for q in (10, 90):
+        assert encode_tiled(img, q, mesh=make_mesh(8)) == container.compress(
+            img, q
+        )
+
+
+def test_batch_compress_matches_single(small_image):
+    imgs = np.stack(
+        [synthetic_image(64, 80, seed=s) for s in range(6)]
+    )  # 6 images over 8 devices -> padding exercised? (6 < 8: pad)
+    out = compress_batch(imgs, 50, mesh=make_mesh(2))
+    assert len(out) == 6
+    for i in range(6):
+        assert out[i] == container.compress(imgs[i], 50)
+
+
+def test_batch_device_assembly_decodes():
+    imgs = np.stack([synthetic_image(64, 64, seed=s) for s in range(4)])
+    out = compress_batch(imgs, 50, mesh=make_mesh(4), assemble="device")
+    for i in range(4):
+        dec = container.decompress(out[i])
+        ref = container.decompress(container.compress(imgs[i], 50))
+        assert np.abs(dec.astype(float) - ref.astype(float)).max() <= 2.0

@@ -39,6 +39,24 @@ def pack_symbols(values: np.ndarray, lengths: np.ndarray) -> bytes:
     return np.packbits(flat).tobytes()
 
 
+def pack_ragged_words(words: np.ndarray, bit_lengths: np.ndarray) -> bytes:
+    """Concatenate ragged big-endian word buffers into packed bytes.
+
+    words: (N, W) uint32, each row a bit buffer (bit 0 at the MSB of
+    word 0); bit_lengths: (N,) valid bits per row.  Host-side stitch used
+    to assemble per-block/per-shard device packing output into the final
+    payload (the C fast path in native/ supersedes this when built).
+    """
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    n, w = words.shape
+    if n == 0:
+        return b""
+    bits = np.unpackbits(words.astype(">u4").view(np.uint8), axis=1)
+    lane = np.arange(w * 32, dtype=np.int64)
+    mask = lane[None, :] < np.asarray(bit_lengths, dtype=np.int64)[:, None]
+    return np.packbits(bits[mask]).tobytes()
+
+
 def bits_to_bytes(bits: np.ndarray) -> bytes:
     return np.packbits(np.asarray(bits, dtype=np.uint8)).tobytes()
 

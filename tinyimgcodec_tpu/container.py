@@ -155,8 +155,13 @@ def _read_code(reader: BitReader, inverse: dict[str, object]):
     raise ValueError("invalid Huffman code")
 
 
-def decompress_to_arrays(data: bytes) -> CodecArrays:
-    """bytes -> coefficient arrays (entropy decode only)."""
+def decompress_to_arrays(data: bytes, use_native: bool = True) -> CodecArrays:
+    """bytes -> coefficient arrays (entropy decode only).
+
+    Uses the native LUT decoder when available (O(1) per code via a
+    16-bit peek table); the pure-python bit-cursor path below is the
+    behavioral oracle it is tested against.
+    """
     height, width, quality, flag = parse_header(data)
     reader = BitReader(data)
     reader.seek(HEADER_BYTES * 8)
@@ -165,9 +170,40 @@ def decompress_to_arrays(data: bytes) -> CodecArrays:
     else:
         tables = _DEFAULT_TABLES
     scaled_dct = bool(flag & FLAG_SCALED_DCT) and not (flag & FLAG_CUSTOM_TABLE)
+    nblocks = -(-height // 8) * -(-width // 8)
+
+    if use_native:
+        from . import native
+
+        if native.available():
+            if flag & FLAG_CUSTOM_TABLE:
+                payload_off = reader.tell()
+                dc_lut = native.build_decode_lut(
+                    {c: (int(s, 2), len(s)) for c, s in tables[DC].items()}
+                )
+                ac_lut = native.build_decode_lut(
+                    {
+                        (r << 4) | sz: (int(s, 2), len(s))
+                        for (r, sz), s in tables[AC].items()
+                    }
+                )
+                # custom-table payload may start off a byte boundary:
+                # realign by re-packing the remaining bits
+                from .bitstream import bits_to_bytes
+
+                payload = bits_to_bytes(reader._bits[payload_off:])
+                dc, ac = native.entropy_decode(
+                    payload, nblocks, dc_lut, ac_lut
+                )
+            else:
+                dc, ac = native.entropy_decode(data[HEADER_BYTES:], nblocks)
+            return CodecArrays(
+                height=height, width=width, quality=quality,
+                dc=dc, ac=ac, scaled_dct=scaled_dct,
+            )
+
     inv_dc = _invert(tables[DC])
     inv_ac = _invert(tables[AC])
-    nblocks = -(-height // 8) * -(-width // 8)
     dc = np.zeros(nblocks, dtype=np.int32)
     ac = np.zeros((nblocks, 63), dtype=np.int32)
     for i in range(nblocks):

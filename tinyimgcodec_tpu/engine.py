@@ -1,0 +1,233 @@
+"""Single-device JAX pipeline engine: image bytes <-> compressed bytes.
+
+Orchestrates the device ops (transform + entropy) with host container
+framing.  Jitted programs are cached per (block-count, quality, precision)
+since XLA requires static shapes; corpus work should batch same-shaped
+images (see the batch/parallel modules).
+
+Pipeline (encode):
+    host: reflect-pad -> device: blockify -> DCT -> quantize -> zigzag ->
+    DPCM -> symbolize -> per-block bit packing -> (words, lengths) ->
+    host: ragged stitch -> header + payload bytes.
+
+Bit-exactness: in ``exact`` precision the transform runs in double-float
+arithmetic and flags blocks whose rounding sits closer to a boundary than
+float64's own error (~1 block per several thousand).  Flagged blocks are
+recomputed on host with the scipy float64 golden path and re-entropy-coded,
+making the output *byte-identical* to the float64 reference implementation
+while everything else stays on device.
+
+Decode runs the entropy stage on host (variable-length Huffman decode is
+inherently serial, SURVEY 3.2; the native C extension accelerates it when
+built) and the transform stage on device, with the same fixup trick for
+truncation-boundary pixels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from . import container, golden
+from .bitstream import BitWriter, pack_ragged_words
+from .constants import ZIGZAG_ORDER, string_code_tables
+from .golden import CodecArrays, bits_required, run_length_encode
+from .ops import entropy, transform
+
+
+def _host_block_payload(dc_diff: int, ac_row: np.ndarray) -> tuple[bytes, int]:
+    """Pure-python single-block entropy encode (no-compiler fallback)."""
+    tables = string_code_tables()
+    w = BitWriter()
+    cat = int(bits_required(np.int32(dc_diff)))
+    w.write_bitstring(tables["DC"][cat])
+    w.write_int(int(dc_diff))
+    for run, value in run_length_encode(ac_row):
+        size = int(bits_required(np.int32(value)))
+        w.write_bitstring(tables["AC"][(run, size)])
+        w.write_int(int(value))
+    return w.to_bytes(), w.bit_length()
+
+
+class Engine:
+    """Lazy holder of jitted pipeline stages (imports jax at init)."""
+
+    def __init__(self, precision: str = transform.EXACT):
+        import jax  # deferred so host-only users never pay for it
+
+        from .xla_cache import ensure_cache
+
+        ensure_cache()
+        self._jax = jax
+        self.precision = precision
+        self._encode_fn = functools.lru_cache(maxsize=32)(self._build_encode)
+        self._decode_fn = functools.lru_cache(maxsize=32)(self._build_decode)
+
+    # -- jit builders ----------------------------------------------------
+    def _build_encode(self, quality: int, precision: str):
+        def run(blocks):  # (nb, 8, 8) int32/uint8
+            zz, flags = transform.encode_blocks(
+                blocks, quality, precision, with_flags=True
+            )
+            dc, ac = transform.dc_dpcm(zz)
+            w0, w1, bits, overflow = entropy.block_symbols(dc, ac)
+            words, block_bits = entropy.pack_blocks(w0, w1, bits)
+            # zz[..., 0] (un-DPCM'd DC) rides along for the host fixup:
+            # tiny (nb,) transfer, needed to rebuild neighbor DC diffs.
+            return words, block_bits, overflow, flags, zz[..., 0]
+
+        return self._jax.jit(run)
+
+    def _build_decode(self, quality: int, precision: str, scaled: bool):
+        def run(dc_diff, ac):
+            zz = transform.undo_dpcm(dc_diff, ac)
+            blocks, flags = transform.decode_blocks(
+                zz, quality, precision, scaled_dct=scaled, with_flags=True
+            )
+            return blocks, flags
+
+        return self._jax.jit(run)
+
+    # -- fixup helpers ---------------------------------------------------
+    @staticmethod
+    def _host_quantize_blocks(pixel_blocks: np.ndarray, quality: int):
+        """scipy float64 reference math for flagged blocks (golden path)."""
+        coeffs = golden.quantize(
+            golden.block_dct(pixel_blocks.astype(np.float64) - 128.0),
+            quality,
+        )
+        return coeffs.reshape(-1, 64)[:, ZIGZAG_ORDER]
+
+    @staticmethod
+    def _reencode_rows(dc_diff: np.ndarray, ac: np.ndarray):
+        """(k,) DC diffs + (k, 63) AC -> (words (k, 52), bits (k,)).
+
+        Per-block host entropy re-encode for fixup: block payloads are
+        independent, so patched blocks just replace their word rows.
+        """
+        from . import native
+        from .ops.entropy import BLOCK_WORDS
+
+        k = dc_diff.shape[0]
+        words = np.zeros((k, BLOCK_WORDS), np.uint32)
+        bits = np.zeros(k, np.int32)
+        use_native = native.available()
+        for i in range(k):
+            if use_native:
+                payload, nbits = native.entropy_encode(
+                    dc_diff[i : i + 1], ac[i : i + 1]
+                )
+            else:
+                payload, nbits = _host_block_payload(
+                    int(dc_diff[i]), ac[i]
+                )
+            buf = np.zeros(BLOCK_WORDS * 4, np.uint8)
+            buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+            words[i] = buf.view(">u4").astype(np.uint32)
+            bits[i] = nbits
+        return words, bits
+
+    @staticmethod
+    def _host_decode_blocks(
+        zz_rows: np.ndarray, quality: int, scaled_dct: bool
+    ) -> np.ndarray:
+        coeffs = np.zeros((zz_rows.shape[0], 64), np.float64)
+        coeffs[:, ZIGZAG_ORDER] = zz_rows
+        coeffs = coeffs.reshape(-1, 8, 8)
+        mult = transform.dequant_multipliers(quality, scaled_dct)
+        pix = golden.block_idct(coeffs * mult)
+        return np.clip(pix + 128.0, 0.0, 255.0).astype(np.uint8)
+
+    # -- public API ------------------------------------------------------
+    def encode_to_words(
+        self, image: np.ndarray, quality: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Run the device encode; returns (words (nb,52), block_bits (nb,))."""
+        padded = transform.pad_to_blocks(np.asarray(image))
+        blocks = np.ascontiguousarray(
+            np.asarray(transform.blockify(padded.astype(np.int32)))
+        )
+        words, block_bits, overflow, flags, dc_all = self._encode_fn(
+            int(quality), self.precision
+        )(blocks)
+        if bool(overflow):
+            raise ValueError(
+                "coefficient magnitude exceeds Huffman table range "
+                "(quality too high for this input)"
+            )
+        words = np.asarray(words)
+        block_bits = np.asarray(block_bits)
+        flags = np.asarray(flags)
+        if flags.any():
+            words, block_bits = self._fixup_encode(
+                blocks, quality, words, block_bits,
+                np.asarray(dc_all), flags,
+            )
+        return words, block_bits
+
+    def _fixup_encode(
+        self, blocks, quality, words, block_bits, dc_all, flags
+    ):
+        """Patch rounding-boundary blocks with float64 host results.
+
+        Block payloads are independent in the packed-words layout, so only
+        the flagged blocks and their DPCM successors (whose DC diff shifts
+        when a flagged DC changes) are re-entropy-coded, on host.
+        """
+        nb = blocks.shape[0]
+        idx = np.flatnonzero(flags)
+        patch = np.unique(np.concatenate([idx, idx + 1]))
+        patch = patch[patch < nb]
+        zz_patch = self._host_quantize_blocks(blocks[patch], quality)
+        dc_all = dc_all.copy()
+        dc_all[patch] = zz_patch[:, 0]
+        prev = np.where(patch > 0, dc_all[np.maximum(patch - 1, 0)], 0)
+        dc_diff = (zz_patch[:, 0] - prev).astype(np.int32)
+        new_words, new_bits = self._reencode_rows(dc_diff, zz_patch[:, 1:])
+        words = words.copy()
+        block_bits = block_bits.copy()
+        words[patch] = new_words
+        block_bits[patch] = new_bits
+        return words, block_bits
+
+    def compress(self, image: np.ndarray, quality: int = 50) -> bytes:
+        image = np.asarray(image)
+        words, block_bits = self.encode_to_words(image, quality)
+        arrays = CodecArrays(
+            height=image.shape[0],
+            width=image.shape[1],
+            quality=quality,
+            dc=np.empty(0, np.int32),
+            ac=np.empty((0, 63), np.int32),
+        )
+        header = container.make_header(arrays)
+        from . import native
+
+        if native.available():
+            return header + native.stitch(words, block_bits)
+        return header + pack_ragged_words(words, block_bits)
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        arrays = container.decompress_to_arrays(data)
+        return self.decode_arrays(arrays)
+
+    def decode_arrays(self, arrays: CodecArrays) -> np.ndarray:
+        fn = self._decode_fn(
+            int(arrays.quality), self.precision, bool(arrays.scaled_dct)
+        )
+        blocks, flags = fn(arrays.dc, arrays.ac)
+        blocks = np.array(blocks)  # writable copy (fixup patches in place)
+        if bool(flags.any()):
+            idx = np.flatnonzero(np.asarray(flags))
+            zz = np.zeros((len(idx), 64), np.int32)
+            dc = np.cumsum(arrays.dc.astype(np.int64)).astype(np.int32)
+            zz[:, 0] = dc[idx]
+            zz[:, 1:] = arrays.ac[idx]
+            blocks[idx] = self._host_decode_blocks(
+                zz, arrays.quality, arrays.scaled_dct
+            )
+        h8 = -(-arrays.height // 8) * 8
+        w8 = -(-arrays.width // 8) * 8
+        img = transform.unblockify(blocks, h8, w8)
+        return np.asarray(img)[: arrays.height, : arrays.width]
