@@ -1,0 +1,86 @@
+"""Checkpointable corpus jobs (SURVEY 5 checkpoint/resume + failure
+recovery equivalents).
+
+Encode is stateless per image, so corpus-scale work checkpoints at image
+granularity: a manifest JSON tracks which inputs are done; re-running the
+job skips completed items and picks up where it left off after a crash or
+preemption (the multi-host analog restarts the failed batch only).
+Streaming output: each image's bitstream lands in its own file as soon as
+it is encoded, so consumers see valid prefixes of the corpus while the
+job runs (the TPU-era analog of the reference C encoder's incremental
+FIFO drain, c/encode.c:59).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+
+
+class CorpusEncodeJob:
+    """Encode a set of images to .img files with resume support."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        quality: int = 50,
+        backend: str = "auto",
+        batch_size: int = 16,
+    ) -> None:
+        self.out_dir = out_dir
+        self.quality = quality
+        self.backend = backend
+        self.batch_size = batch_size
+        self.manifest_path = os.path.join(out_dir, "manifest.json")
+        os.makedirs(out_dir, exist_ok=True)
+        self._manifest = self._load_manifest()
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            try:
+                with open(self.manifest_path) as f:
+                    return json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass
+        return {"quality": self.quality, "done": {}}
+
+    def _save_manifest(self) -> None:
+        # atomic write so a crash never corrupts resume state
+        fd, tmp = tempfile.mkstemp(dir=self.out_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._manifest, f)
+        os.replace(tmp, self.manifest_path)
+
+    def pending(self, names: list[str]) -> list[str]:
+        done = self._manifest["done"]
+        return [n for n in names if n not in done]
+
+    def run(
+        self, images: dict[str, np.ndarray], progress=None
+    ) -> dict[str, str]:
+        """Encode all not-yet-done images; returns name -> output path."""
+        from . import api
+
+        names = self.pending(sorted(images))
+        out_paths = {
+            n: os.path.join(self.out_dir, f"{n}.img")
+            for n in sorted(images)
+        }
+        for i, name in enumerate(names):
+            data = api.compress(
+                images[name], quality=self.quality, backend=self.backend
+            )
+            tmp = out_paths[name] + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, out_paths[name])
+            self._manifest["done"][name] = {
+                "bytes": len(data), "shape": list(images[name].shape)
+            }
+            self._save_manifest()
+            if progress:
+                progress(i + 1, len(names), name)
+        return out_paths

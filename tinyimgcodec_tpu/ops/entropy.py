@@ -84,6 +84,44 @@ def _append(w0, w1, length, value_u32, nbits):
     return w0 | in_w0, w1 | in_w1, end
 
 
+import functools
+
+
+@functools.cache
+def _symbol_tables():
+    """Merged numeric tables for single-gather symbolization.
+
+    - DC/AC combined entries: ``code << 8 | code_length`` (codes <= 16
+      bits, lengths <= 16, so one uint32 gather serves both).
+    - ZRL prefix table indexed by z = run >> 4 in 0..3: the z-fold
+      repetition of the 11-bit ZRL code, left-aligned in two uint32
+      lanes, plus its bit length 11*z.
+    """
+    dc_comb = (C.DC_CODE.astype(np.uint64) << 8) | C.DC_CODELEN.astype(
+        np.uint64
+    )
+    ac_comb = (
+        C.AC_CODE.reshape(-1).astype(np.uint64) << 8
+    ) | C.AC_CODELEN.reshape(-1).astype(np.uint64)
+    zp0 = np.zeros(4, np.uint32)
+    zp1 = np.zeros(4, np.uint32)
+    zlen = np.zeros(4, np.int32)
+    for z in range(1, 4):
+        v = 0
+        for _ in range(z):
+            v = (v << C.ZRL_LEN) | C.ZRL_CODE
+        bits = 11 * z
+        v64 = v << (64 - bits)
+        zp0[z] = v64 >> 32
+        zp1[z] = v64 & 0xFFFFFFFF
+        zlen[z] = bits
+    return (
+        dc_comb.astype(np.uint32),
+        ac_comb.astype(np.uint32),
+        zp0, zp1, zlen,
+    )
+
+
 def block_symbols(
     dc_diff: jnp.ndarray,
     ac: jnp.ndarray,
@@ -98,26 +136,44 @@ def block_symbols(
     (..., nb, 65) and a scalar bool overflow flag (set when a coefficient
     needs a size outside the table, i.e. |AC| > 1023 or |DC diff| > 2047 --
     the reference raises KeyError there, SURVEY 3.5 note).
-    """
-    dc_code = jnp.asarray(C.DC_CODE if dc_code is None else dc_code, _U32)
-    dc_len = jnp.asarray(C.DC_CODELEN if dc_len is None else dc_len, jnp.int32)
-    ac_code_flat = jnp.asarray(
-        C.AC_CODE if ac_code is None else ac_code, _U32
-    ).reshape(-1)
-    ac_len_flat = jnp.asarray(
-        C.AC_CODELEN if ac_len is None else ac_len, jnp.int32
-    ).reshape(-1)
 
-    # ---- DC slot -------------------------------------------------------
+    Optional table overrides (custom Huffman tables) use separate
+    code/length arrays; the default path uses merged single-gather tables.
+    """
+    if dc_code is not None or ac_code is not None:
+        dc_code_a = np.asarray(
+            C.DC_CODE if dc_code is None else dc_code, np.uint64
+        )
+        dc_len_a = np.asarray(
+            C.DC_CODELEN if dc_len is None else dc_len, np.uint64
+        )
+        ac_code_a = np.asarray(
+            C.AC_CODE if ac_code is None else ac_code, np.uint64
+        ).reshape(-1)
+        ac_len_a = np.asarray(
+            C.AC_CODELEN if ac_len is None else ac_len, np.uint64
+        ).reshape(-1)
+        dc_comb = ((dc_code_a << 8) | dc_len_a).astype(np.uint32)
+        ac_comb = ((ac_code_a << 8) | ac_len_a).astype(np.uint32)
+        _, _, zp0, zp1, zlen = _symbol_tables()
+    else:
+        dc_comb, ac_comb, zp0, zp1, zlen = _symbol_tables()
+    dc_comb = jnp.asarray(dc_comb)
+    ac_comb = jnp.asarray(ac_comb)
+
+    # ---- DC slot: code+magnitude left-aligned directly ----------------
     cat = _category(dc_diff)
     dc_over = jnp.any(cat > 11)
     cat_c = jnp.clip(cat, 0, 11)
-    code = jnp.take(dc_code, cat_c)
-    clen = jnp.take(dc_len, cat_c)
+    comb = jnp.take(dc_comb, cat_c)
+    code = comb >> _u(8)
+    clen = (comb & _u(0xFF)).astype(jnp.int32)
     mag = _magnitude(dc_diff, cat_c)
-    w0, w1, bits = _append(_u(0), _u(0), jnp.zeros_like(cat), code, clen)
-    w0, w1, bits = _append(w0, w1, bits, mag, cat_c)
-    dc_w0, dc_w1, dc_bits = w0, w1, bits
+    cat_u = _u(cat_c)
+    val = (code << cat_u) | mag
+    dc_bits = clen + cat_c  # in [2, 20]
+    dc_w0 = val << _u(32 - dc_bits)
+    dc_w1 = jnp.zeros_like(dc_w0)
 
     # ---- AC slots ------------------------------------------------------
     nz = ac != 0
@@ -125,42 +181,37 @@ def block_symbols(
     marked = jnp.where(nz, pos, jnp.int32(-1))
     prev_inc = jax.lax.cummax(marked, axis=ac.ndim - 1)
     prev = jnp.concatenate(
-        [
-            jnp.full_like(prev_inc[..., :1], -1),
-            prev_inc[..., :-1],
-        ],
+        [jnp.full_like(prev_inc[..., :1], -1), prev_inc[..., :-1]],
         axis=-1,
     )
     run = pos - prev - 1  # zeros since previous nonzero (valid where nz)
     size = _category(ac)
     ac_over = jnp.any(jnp.where(nz, size, 0) > 10)
-    size_c = jnp.clip(size, 0, 10)
+    s = jnp.clip(size, 0, 10)
     r = run & 15
-    z = run >> 4  # number of ZRL prefixes, 0..3
-    idx = jnp.clip(r * 11 + size_c, 0, 175)
-    code = jnp.take(ac_code_flat, idx)
-    clen = jnp.take(ac_len_flat, idx)
-    mag = _magnitude(ac, size_c)
-
-    zrl_code = _u(C.ZRL_CODE)
-    zrl_len = jnp.int32(C.ZRL_LEN)
-    w0 = jnp.zeros_like(code)
-    w1 = jnp.zeros_like(code)
-    bits = jnp.zeros_like(run)
-    for k in range(3):  # up to 3 ZRL prefixes
-        take = z > k
-        w0, w1, bits = _append(
-            w0, w1, bits,
-            jnp.where(take, zrl_code, _u(0)),
-            jnp.where(take, zrl_len, 0),
-        )
-    w0, w1, bits = _append(w0, w1, bits, code, clen)
-    w0, w1, bits = _append(w0, w1, bits, mag, size_c)
-    # zero coefficients emit nothing
+    z = jnp.clip(run >> 4, 0, 3)  # number of ZRL prefixes
+    comb = jnp.take(ac_comb, jnp.clip(r * 11 + s, 0, 175))
+    code = comb >> _u(8)
+    clen = (comb & _u(0xFF)).astype(jnp.int32)
+    mag = _magnitude(ac, s)
+    s_u = _u(s)
+    val = (code << s_u) | mag      # code+magnitude, <= 26 bits
+    vlen = clen + s
+    plen = jnp.take(jnp.asarray(zlen), z)   # ZRL prefix bits, 0/11/22/33
+    end = plen + vlen                       # <= 59
+    e2 = end - 32
+    # place val at bit offset plen of the two-lane payload
+    left_sh = _u(jnp.clip(32 - end, 0, 31))
+    right_sh = _u(jnp.clip(e2, 0, 31))
+    w1_sh = _u(jnp.clip(32 - e2, 0, 31))
+    in_w0 = jnp.where(e2 <= 0, val << left_sh, val >> right_sh)
+    in_w1 = jnp.where(e2 <= 0, _u(0), val << w1_sh)
+    ac_w0 = jnp.take(jnp.asarray(zp0), z) | in_w0
+    ac_w1 = jnp.take(jnp.asarray(zp1), z) | in_w1
     nz_u = nz.astype(_U32)
-    ac_w0 = w0 * nz_u
-    ac_w1 = w1 * nz_u
-    ac_bits = bits * nz.astype(jnp.int32)
+    ac_w0 = ac_w0 * nz_u
+    ac_w1 = ac_w1 * nz_u
+    ac_bits = end * nz.astype(jnp.int32)
 
     # ---- EOB slot ------------------------------------------------------
     eob_w0 = jnp.full_like(dc_w0, np.uint32(C.EOB_CODE) << np.uint32(28))

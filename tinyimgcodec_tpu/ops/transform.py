@@ -91,6 +91,34 @@ def _idct2_fast(coeffs: jnp.ndarray) -> jnp.ndarray:
                       preferred_element_type=jnp.float32)
 
 
+@functools.cache
+def _fast_encode_matrix(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fused (64, 64) matrix: pixels -> quantized zig-zag coefficients.
+
+    One MXU-shaped matmul does DCT + 1/divisor scaling + zig-zag: column
+    k is the zig-zag-k DCT basis vector over the 64 pixel positions,
+    pre-divided by its quantization divisor.  The level shift folds into
+    a per-column offset (only the DC column has a nonzero basis sum).
+    """
+    d = dct_basis()
+    kron = np.einsum("ui,vj->ijuv", d, d).reshape(64, 64)  # [pixel, coeff]
+    recip = (1.0 / quant_divisors(quality)).reshape(64)
+    m = kron * recip[None, :]
+    m = m[:, ZIGZAG_ORDER]
+    offset = 128.0 * m.sum(axis=0)
+    return m.astype(np.float32), offset.astype(np.float32)
+
+
+@functools.cache
+def _fast_decode_matrix(quality: int, scaled_dct: bool) -> np.ndarray:
+    """Fused (64, 64) matrix: zig-zag coefficients -> pixel values - 128."""
+    d = dct_basis()
+    kron = np.einsum("ui,vj->ijuv", d, d).reshape(64, 64)  # [pixel, coeff]
+    mult = dequant_multipliers(quality, scaled_dct).reshape(64)
+    m = (kron * mult[None, :])[:, ZIGZAG_ORDER]  # [pixel, zigzag coeff]
+    return m.T.astype(np.float32)  # [zigzag coeff, pixel]
+
+
 def _df_contract(get_term, n: int = 8):
     """Sum n double-float terms: get_term(k) -> (th, tl) df arrays.
 
@@ -194,18 +222,23 @@ def encode_blocks(
     whose rounding decision is too close to a boundary for double-float
     arithmetic to certify against the float64 reference (host fixup).
     """
+    if precision == FAST:
+        # fused single matmul: DCT + quant scaling + zigzag (MXU-shaped)
+        m, offset = _fast_encode_matrix(quality)
+        x = blocks.astype(jnp.float32).reshape(*blocks.shape[:-2], 64)
+        q = jnp.round(x @ jnp.asarray(m) - jnp.asarray(offset))
+        zz = q.astype(jnp.int32)
+        flags = jnp.zeros(blocks.shape[:-2], dtype=bool)
+        if with_flags:
+            return zz, flags
+        return zz
     x = blocks.astype(jnp.float32) - 128.0  # level shift, exact in f32
     recip = 1.0 / quant_divisors(quality)   # float64 host constants
-    if precision == FAST:
-        coeffs = _dct2_fast(x)
-        q = jnp.round(coeffs * jnp.asarray(recip, dtype=jnp.float32))
-        flags = jnp.zeros(blocks.shape[:-2], dtype=bool)
-    else:
-        c_h, c_l = _dct2_df(x)
-        rh, rl = df32.split_hi_lo(recip)
-        q_h, q_l = df32.df_mul(c_h, c_l, jnp.asarray(rh), jnp.asarray(rl))
-        q, uncertain = df32.df_round_half_even(q_h, q_l)
-        flags = jnp.any(uncertain, axis=(-2, -1))
+    c_h, c_l = _dct2_df(x)
+    rh, rl = df32.split_hi_lo(recip)
+    q_h, q_l = df32.df_mul(c_h, c_l, jnp.asarray(rh), jnp.asarray(rl))
+    q, uncertain = df32.df_round_half_even(q_h, q_l)
+    flags = jnp.any(uncertain, axis=(-2, -1))
     zz = q.astype(jnp.int32).reshape(*blocks.shape[:-2], 64)
     zz = jnp.take(zz, jnp.asarray(ZIGZAG_ORDER), axis=-1)
     if with_flags:
@@ -249,27 +282,32 @@ def decode_blocks(
     """(..., nb, 64) int32 zig-zag coefficients (DC already un-DPCM'd) ->
     (..., nb, 8, 8) uint8 pixel blocks (+ per-block uncertainty flags
     when with_flags=True; see encode_blocks)."""
+    if precision == FAST:
+        m = _fast_decode_matrix(quality, scaled_dct)
+        x = zz.astype(jnp.float32) @ jnp.asarray(m)
+        pix = jnp.floor(jnp.clip(x + 128.0, 0.0, 255.0))
+        pix = pix.reshape(*zz.shape[:-1], 8, 8)
+        flags = jnp.zeros(zz.shape[:-1], dtype=bool)
+        out = pix.astype(jnp.uint8)
+        if with_flags:
+            return out, flags
+        return out
     coeffs = jnp.take(zz, jnp.asarray(INVERSE_ZIGZAG), axis=-1)
     coeffs = coeffs.reshape(*zz.shape[:-1], 8, 8)
     mult = dequant_multipliers(quality, scaled_dct)
     c = coeffs.astype(jnp.float32)  # exact (|coeff| << 2**24)
-    if precision == FAST:
-        x = _idct2_fast(c * jnp.asarray(mult, dtype=jnp.float32))
-        pix = jnp.floor(jnp.clip(x + 128.0, 0.0, 255.0))
-        flags = jnp.zeros(zz.shape[:-1], dtype=bool)
-    else:
-        mh, ml = df32.split_hi_lo(mult)
-        dq_h, dq_e = df32.two_prod(c, jnp.asarray(mh))
-        dq_e = dq_e + c * jnp.asarray(ml)
-        dq_h, dq_l = df32.quick_two_sum(dq_h, dq_e)
-        x_h, x_l = _idct2_df(dq_h, dq_l)
-        x_h, x_l = df32.df_add_float(x_h, x_l, 128.0)
-        pix, uncertain = df32.df_floor(x_h, x_l)
-        # boundary uncertainty only matters where the clip to [0, 255]
-        # doesn't absorb it (x_h is the +128-shifted pixel value)
-        uncertain = uncertain & (x_h > 0.5) & (x_h < 255.5)
-        flags = jnp.any(uncertain, axis=(-2, -1))
-        pix = jnp.clip(pix, 0.0, 255.0)
+    mh, ml = df32.split_hi_lo(mult)
+    dq_h, dq_e = df32.two_prod(c, jnp.asarray(mh))
+    dq_e = dq_e + c * jnp.asarray(ml)
+    dq_h, dq_l = df32.quick_two_sum(dq_h, dq_e)
+    x_h, x_l = _idct2_df(dq_h, dq_l)
+    x_h, x_l = df32.df_add_float(x_h, x_l, 128.0)
+    pix, uncertain = df32.df_floor(x_h, x_l)
+    # boundary uncertainty only matters where the clip to [0, 255]
+    # doesn't absorb it (x_h is the +128-shifted pixel value)
+    uncertain = uncertain & (x_h > 0.5) & (x_h < 255.5)
+    flags = jnp.any(uncertain, axis=(-2, -1))
+    pix = jnp.clip(pix, 0.0, 255.0)
     out = pix.astype(jnp.uint8)
     if with_flags:
         return out, flags
