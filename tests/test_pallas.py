@@ -1,0 +1,164 @@
+"""Pallas kernel tests (interpret mode on CPU; real runs happen on TPU)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import synthetic_image
+from tinyimgcodec_tpu.ops import entropy, transform
+from tinyimgcodec_tpu.ops.pallas_encode import encode_pallas
+
+
+def _reference_words(blocks, quality, nb):
+    """XLA pipeline output for comparison (fast precision)."""
+    zz = transform.encode_blocks(blocks, quality, transform.FAST)
+    zz = np.asarray(zz).reshape(-1, nb, 64)
+    import jax.numpy as jnp
+
+    dc, ac = transform.dc_dpcm(jnp.asarray(zz))
+    w0, w1, bits, overflow = entropy.block_symbols(dc, ac)
+    words, block_bits = entropy.pack_blocks(w0, w1, bits)
+    n = zz.shape[0] * nb
+    return (
+        np.asarray(words).reshape(n, -1),
+        np.asarray(block_bits).reshape(n),
+        bool(overflow),
+    )
+
+
+@pytest.mark.parametrize("quality", [50, 90])
+def test_pallas_encode_matches_xla(quality):
+    img = synthetic_image(64, 64, seed=61)  # 64 blocks = one tile
+    blocks = np.asarray(
+        transform.blockify(img.astype(np.int32))
+    )
+    words, bits, over = encode_pallas(
+        blocks, quality, nb=64, bt=64, interpret=True
+    )
+    ref_words, ref_bits, ref_over = _reference_words(blocks, quality, 64)
+    assert not bool(over) and not ref_over
+    assert np.array_equal(np.asarray(bits), ref_bits)
+    assert np.array_equal(np.asarray(words), ref_words)
+
+
+def test_pallas_encode_multi_tile_carry():
+    # DC predictor must carry across tiles: 2 images of 64 blocks, bt=32
+    imgs = np.stack(
+        [synthetic_image(64, 64, seed=s) for s in (62, 63)]
+    )
+    blocks = np.asarray(transform.blockify(imgs.astype(np.int32)))
+    flat = blocks.reshape(-1, 8, 8)
+    words, bits, over = encode_pallas(
+        flat, 50, nb=64, bt=32, interpret=True
+    )
+    ref_words, ref_bits, _ = _reference_words(blocks, 50, 64)
+    assert np.array_equal(np.asarray(bits), ref_bits)
+    assert np.array_equal(np.asarray(words), ref_words)
+
+
+def test_pallas_encode_image_boundary_reset():
+    # second image's first block must diff against 0, not the previous
+    # image's last DC (nb parameter)
+    img_a = np.full((16, 16), 200, np.uint8)
+    img_b = np.full((16, 16), 60, np.uint8)
+    blocks = np.concatenate(
+        [
+            np.asarray(transform.blockify(img_a.astype(np.int32))),
+            np.asarray(transform.blockify(img_b.astype(np.int32))),
+        ]
+    )
+    words, bits, _ = encode_pallas(blocks, 50, nb=4, bt=8, interpret=True)
+    stacked = blocks.reshape(2, 4, 8, 8)
+    ref_words, ref_bits, _ = _reference_words(stacked, 50, 4)
+    assert np.array_equal(np.asarray(bits), ref_bits)
+    assert np.array_equal(np.asarray(words), ref_words)
+
+
+def test_pallas_encode_extreme_runs():
+    # impulses produce long zero runs (ZRL chains)
+    rng = np.random.RandomState(7)
+    img = np.full((64, 64), 128, np.uint8)
+    ys, xs = rng.randint(0, 64, 30), rng.randint(0, 64, 30)
+    img[ys, xs] = 255
+    blocks = np.asarray(transform.blockify(img.astype(np.int32)))
+    words, bits, over = encode_pallas(
+        blocks, 90, nb=64, bt=64, interpret=True
+    )
+    ref_words, ref_bits, _ = _reference_words(blocks, 90, 64)
+    assert np.array_equal(np.asarray(bits), ref_bits)
+    assert np.array_equal(np.asarray(words), ref_words)
+
+
+# ---------------------------------------------------------------------------
+# Stitch kernel
+# ---------------------------------------------------------------------------
+
+def _stitch_reference(words, bits, nb):
+    """Expected multi-image byte-aligned stream via the host stitcher."""
+    from tinyimgcodec_tpu.bitstream import pack_ragged_words
+
+    n = words.shape[0]
+    chunks = []
+    starts = []
+    pos_bits = 0
+    for i in range(0, n, nb):
+        starts.append(pos_bits)
+        payload = pack_ragged_words(words[i : i + nb], bits[i : i + nb])
+        chunks.append(payload)
+        pos_bits += len(payload) * 8
+    return b"".join(chunks), starts
+
+
+@pytest.mark.parametrize("bt", [32, 64])
+def test_pallas_stitch_matches_host(bt):
+    from tinyimgcodec_tpu.ops.pallas_stitch import stitch_pallas
+
+    imgs = np.stack(
+        [synthetic_image(64, 64, seed=s) for s in (71, 72)]
+    )
+    blocks = np.asarray(transform.blockify(imgs.astype(np.int32)))
+    words, bits, _ = _reference_words(blocks, 50, 64)
+    stream, starts, total, status = stitch_pallas(
+        words, bits, nb=64, cap_words=words.shape[0] * 52, bt=bt,
+        interpret=True,
+    )
+    assert int(status) == 0
+    expect, expect_starts = _stitch_reference(words, bits, 64)
+    assert list(np.asarray(starts)) == expect_starts
+    got = np.asarray(stream).astype(">u4").tobytes()[: len(expect)]
+    assert got == expect
+    # total covers the last image's payload
+    assert -(-int(total) // 8) == len(expect)
+
+
+def test_pallas_stitch_overflow_detected():
+    from tinyimgcodec_tpu.ops.pallas_stitch import stitch_pallas
+
+    img = synthetic_image(64, 64, seed=73)
+    blocks = np.asarray(transform.blockify(img.astype(np.int32)))
+    words, bits, _ = _reference_words(blocks, 90, 64)
+    assert int(bits.sum()) // 32 > 128  # stream genuinely exceeds cap
+    _, _, _, status = stitch_pallas(
+        words, bits, nb=64, cap_words=128, bt=64, interpret=True
+    )
+    assert int(status) & 2
+
+
+def test_pallas_pipeline_end_to_end():
+    from tinyimgcodec_tpu import container
+    from tinyimgcodec_tpu.pallas_pipeline import compress_batch_pallas
+
+    imgs = np.stack(
+        [synthetic_image(64, 64, seed=s) for s in (81, 82)]
+    )
+    out = compress_batch_pallas(imgs, 50, bt=64, interpret=True)
+    assert len(out) == 2
+    for i in range(2):
+        ref = container.compress(imgs[i], 50)
+        dec = container.decompress(out[i])
+        ref_dec = container.decompress(ref)
+        # fast-precision streams may differ from float64 streams in rare
+        # rounding ties; decoded quality must be essentially identical
+        assert np.abs(
+            dec.astype(float) - ref_dec.astype(float)
+        ).max() <= 2
+        assert abs(len(out[i]) - len(ref)) < 64

@@ -106,6 +106,9 @@ def _fast_encode_matrix(quality: int) -> tuple[np.ndarray, np.ndarray]:
     m = kron * recip[None, :]
     m = m[:, ZIGZAG_ORDER]
     offset = 128.0 * m.sum(axis=0)
+    # only the DC column has a nonzero basis sum; snap float summation
+    # noise on the others to an exact zero
+    offset[np.abs(offset) < 1e-6] = 0.0
     return m.astype(np.float32), offset.astype(np.float32)
 
 

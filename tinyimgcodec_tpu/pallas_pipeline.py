@@ -1,0 +1,102 @@
+"""Single-dispatch Pallas encode pipeline: image batch -> one byte stream.
+
+Chains the fused encode kernel (ops/pallas_encode.py) and the device
+BitWriter (ops/pallas_stitch.py) in one jitted program: uint8 images in
+HBM -> per-image byte-aligned compressed streams, with exactly one small
+host pull (stream words + image offsets + status).  This is the
+throughput path used by the benchmark on real hardware; correctness
+parity with the XLA/host paths is pinned by tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import container
+from .golden import CodecArrays
+from .ops import transform
+from .ops.pallas_encode import encode_pallas
+from .ops.pallas_stitch import stitch_pallas
+from .xla_cache import ensure_cache
+
+
+@functools.cache
+def _build(b: int, h: int, w: int, quality: int, cap_words: int,
+           bt: int, interpret: bool):
+    ensure_cache()
+    nb = (h // 8) * (w // 8)
+
+    def run(images):  # (B, H, W) uint8
+        blocks = transform.blockify(images).reshape(b * nb, 64)
+        words, bits, overflow = encode_pallas(
+            blocks, quality, nb=nb, bt=bt, interpret=interpret
+        )
+        stream, starts, total, status = stitch_pallas(
+            words, bits, nb=nb, cap_words=cap_words, bt=bt,
+            interpret=interpret,
+        )
+        status = status | jnp.where(overflow, 4, 0)
+        return stream, starts, total, status
+
+    return jax.jit(run)
+
+
+def compress_batch_pallas(
+    images,
+    quality: int = 50,
+    bits_per_pixel_budget: float = 4.0,
+    bt: int = 512,
+    interpret: bool = False,
+    staged=None,
+) -> list[bytes]:
+    """(B, H, W) uint8 same-shaped images -> list of compressed bytes.
+
+    Fast (f32) transform semantics; single device.  ``staged`` may carry a
+    pre-transferred device array to keep the host link out of hot loops.
+    """
+    if staged is not None:
+        dev_images = staged
+        b, h, w = np.asarray(dev_images).shape if images is None else (
+            images.shape
+        )
+    else:
+        images = np.ascontiguousarray(np.asarray(images), dtype=np.uint8)
+        if images.shape[1] % 8 or images.shape[2] % 8:
+            images = transform.pad_to_blocks(images)
+        dev_images = images
+        b, h, w = images.shape
+    nb = (h // 8) * (w // 8)
+    n = b * nb
+    if n % bt:
+        raise ValueError(f"total blocks {n} not a multiple of bt={bt}")
+    cap_words = -(-int(b * h * w * bits_per_pixel_budget) // 32)
+
+    fn = _build(b, h, w, int(quality), cap_words, bt, interpret)
+    stream, starts, total, status = jax.device_get(fn(dev_images))
+    if int(status) & (2 | 4):
+        if int(status) & 4:
+            raise ValueError("coefficient out of Huffman table range")
+        # capacity overflow: retry with worst case
+        cap_words = n * 52
+        fn = _build(b, h, w, int(quality), cap_words, bt, interpret)
+        stream, starts, total, status = jax.device_get(fn(dev_images))
+        if int(status) & 2:
+            raise ValueError("stream capacity overflow (worst case!)")
+
+    header = container.make_header(
+        CodecArrays(
+            height=h, width=w, quality=quality,
+            dc=np.empty(0, np.int32), ac=np.empty((0, 63), np.int32),
+        )
+    )
+    raw = stream.astype(">u4").tobytes()
+    out = []
+    for i in range(b):
+        s = int(starts[i]) // 8
+        e = int(starts[i + 1]) // 8 if i + 1 < b else -(-int(total) // 8)
+        out.append(header + raw[s:e])
+    return out
