@@ -177,3 +177,16 @@ def test_engine_via_public_api(small_image):
     assert np.array_equal(
         tic.decompress(data, backend="jax"), container.decompress(data)
     )
+
+
+def test_engine_decompress_batch(small_image):
+    from tests.conftest import synthetic_image
+    from tinyimgcodec_tpu.engine import Engine
+
+    imgs = [synthetic_image(64, 80, seed=s) for s in (91, 92, 93)]
+    streams = [container.compress(im, 50) for im in imgs]
+    eng = Engine()
+    out = eng.decompress_batch(streams)
+    assert out.shape == (3, 64, 80)
+    for i in range(3):
+        assert np.array_equal(out[i], container.decompress(streams[i]))

@@ -212,6 +212,41 @@ class Engine:
         arrays = container.decompress_to_arrays(data)
         return self.decode_arrays(arrays)
 
+    def decompress_batch(self, streams: list[bytes]) -> np.ndarray:
+        """Decode same-shaped streams: C entropy decode per stream (the
+        serial part), ONE batched device transform for all of them."""
+        arrays = [container.decompress_to_arrays(d) for d in streams]
+        a0 = arrays[0]
+        for a in arrays[1:]:
+            if (a.height, a.width, a.quality, a.scaled_dct) != (
+                a0.height, a0.width, a0.quality, a0.scaled_dct
+            ):
+                raise ValueError("decompress_batch needs uniform streams")
+        dc = np.stack([a.dc for a in arrays])
+        ac = np.stack([a.ac for a in arrays])
+        fn = self._decode_fn(
+            int(a0.quality), self.precision, bool(a0.scaled_dct)
+        )
+        blocks, flags = fn(dc, ac)
+        blocks = np.array(blocks)
+        flags = np.asarray(flags)
+        if flags.any():
+            for i in np.flatnonzero(flags.any(axis=-1)):
+                idx = np.flatnonzero(flags[i])
+                zz = np.zeros((len(idx), 64), np.int32)
+                dci = np.cumsum(arrays[i].dc.astype(np.int64)).astype(
+                    np.int32
+                )
+                zz[:, 0] = dci[idx]
+                zz[:, 1:] = arrays[i].ac[idx]
+                blocks[i, idx] = self._host_decode_blocks(
+                    zz, a0.quality, a0.scaled_dct
+                )
+        h8 = -(-a0.height // 8) * 8
+        w8 = -(-a0.width // 8) * 8
+        imgs = np.asarray(transform.unblockify(blocks, h8, w8))
+        return imgs[:, : a0.height, : a0.width]
+
     def decode_arrays(self, arrays: CodecArrays) -> np.ndarray:
         fn = self._decode_fn(
             int(arrays.quality), self.precision, bool(arrays.scaled_dct)

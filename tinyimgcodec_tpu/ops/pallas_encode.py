@@ -67,7 +67,7 @@ def _table_select(idx, table):
     return acc
 
 
-def _make_kernel(quality: int, nb: int, bt: int):
+def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool = False):
     m_np, off_np = _fast_encode_matrix(quality)
     dc_comb, ac_comb, zp0, zp1, zlen = entropy_ops._symbol_tables()
     eob_w0 = np.uint32(C.EOB_CODE << 28)
@@ -85,12 +85,19 @@ def _make_kernel(quality: int, nb: int, bt: int):
             carry_ref[0] = 0
             over_ref[0, 0] = 0
 
-        # ---- transform: one MXU matmul does DCT+quant+zigzag ----------
-        x = x_ref[...].astype(jnp.float32)          # (BT, 64)
-        zzf = jnp.dot(x, m_ref[...], preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (bt, 64), 1)
-        zzf = jnp.where(col == 0, zzf - off0, zzf)
-        zz = jnp.round(zzf).astype(jnp.int32)
+        if from_zz:
+            # coefficients already quantized (e.g. by the XLA double-float
+            # exact transform); this kernel only symbolizes and packs
+            zz = x_ref[...]
+        else:
+            # ---- transform: one MXU matmul does DCT+quant+zigzag ------
+            x = x_ref[...].astype(jnp.float32)      # (BT, 64)
+            zzf = jnp.dot(
+                x, m_ref[...], preferred_element_type=jnp.float32
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, (bt, 64), 1)
+            zzf = jnp.where(col == 0, zzf - off0, zzf)
+            zz = jnp.round(zzf).astype(jnp.int32)
 
         # ---- DC DPCM with cross-tile carry + image-boundary reset -----
         dc = zz[:, 0:1]                              # (BT, 1)
@@ -210,8 +217,8 @@ def _make_kernel(quality: int, nb: int, bt: int):
 
 @functools.cache
 def _build_call(quality: int, nb: int, bt: int, n: int,
-                interpret: bool = False):
-    kernel = _make_kernel(quality, nb, bt)
+                interpret: bool = False, from_zz: bool = False):
+    kernel = _make_kernel(quality, nb, bt, from_zz)
     grid_spec = pl.GridSpec(
         grid=(n // bt,),
         in_specs=[
@@ -254,15 +261,20 @@ def encode_pallas(
     nb: int,
     bt: int = 512,
     interpret: bool = False,
+    from_zz: bool = False,
 ):
     """(N, 8, 8) or (N, 64) int blocks -> (words (N,52), bits (N,), overflow).
 
     nb: blocks per image (the DC predictor resets every nb blocks).
-    N must be a multiple of bt.  Fast (f32) transform semantics.
+    N must be a multiple of bt.  Fast (f32) transform semantics, or
+    from_zz=True to feed pre-quantized zig-zag coefficients (exact mode:
+    the double-float XLA transform produces zz, this kernel does the
+    entropy stage).
     """
     n = blocks.shape[0]
     if n % bt:
         raise ValueError(f"N={n} not a multiple of tile {bt}")
     x = blocks.reshape(n, 64)
-    call = _build_call(int(quality), int(nb), int(bt), n, interpret)
+    call = _build_call(int(quality), int(nb), int(bt), n, interpret,
+                       from_zz)
     return call(x)

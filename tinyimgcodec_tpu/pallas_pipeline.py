@@ -26,15 +26,28 @@ from .xla_cache import ensure_cache
 
 @functools.cache
 def _build(b: int, h: int, w: int, quality: int, cap_words: int,
-           bt: int, interpret: bool):
+           bt: int, interpret: bool, precision: str):
     ensure_cache()
     nb = (h // 8) * (w // 8)
 
     def run(images):  # (B, H, W) uint8
-        blocks = transform.blockify(images).reshape(b * nb, 64)
-        words, bits, overflow = encode_pallas(
-            blocks, quality, nb=nb, bt=bt, interpret=interpret
-        )
+        blocks = transform.blockify(images)
+        if precision == transform.EXACT:
+            # double-float XLA transform (reference-grade rounding; exact
+            # ties resolved by correct round-half-even on device), then
+            # the pallas kernel does the entropy stage
+            zz = transform.encode_blocks(
+                blocks.reshape(b * nb, 8, 8), quality, transform.EXACT
+            )
+            words, bits, overflow = encode_pallas(
+                zz, quality, nb=nb, bt=bt, interpret=interpret,
+                from_zz=True,
+            )
+        else:
+            words, bits, overflow = encode_pallas(
+                blocks.reshape(b * nb, 64), quality, nb=nb, bt=bt,
+                interpret=interpret,
+            )
         stream, starts, total, status = stitch_pallas(
             words, bits, nb=nb, cap_words=cap_words, bt=bt,
             interpret=interpret,
@@ -52,11 +65,14 @@ def compress_batch_pallas(
     bt: int = 512,
     interpret: bool = False,
     staged=None,
+    precision: str = transform.FAST,
 ) -> list[bytes]:
     """(B, H, W) uint8 same-shaped images -> list of compressed bytes.
 
-    Fast (f32) transform semantics; single device.  ``staged`` may carry a
-    pre-transferred device array to keep the host link out of hot loops.
+    Single device.  ``staged`` may carry a pre-transferred device array to
+    keep the host link out of hot loops.  precision: "fast" (f32) or
+    "exact" (double-float transform; reference-grade rounding with exact
+    ties correctly rounded on device).
     """
     if staged is not None:
         dev_images = staged
@@ -75,14 +91,15 @@ def compress_batch_pallas(
         raise ValueError(f"total blocks {n} not a multiple of bt={bt}")
     cap_words = -(-int(b * h * w * bits_per_pixel_budget) // 32)
 
-    fn = _build(b, h, w, int(quality), cap_words, bt, interpret)
+    fn = _build(b, h, w, int(quality), cap_words, bt, interpret, precision)
     stream, starts, total, status = jax.device_get(fn(dev_images))
     if int(status) & (2 | 4):
         if int(status) & 4:
             raise ValueError("coefficient out of Huffman table range")
         # capacity overflow: retry with worst case
         cap_words = n * 52
-        fn = _build(b, h, w, int(quality), cap_words, bt, interpret)
+        fn = _build(b, h, w, int(quality), cap_words, bt, interpret,
+                    precision)
         stream, starts, total, status = jax.device_get(fn(dev_images))
         if int(status) & 2:
             raise ValueError("stream capacity overflow (worst case!)")
