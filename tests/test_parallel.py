@@ -74,3 +74,14 @@ def test_batch_device_assembly_decodes():
         dec = container.decompress(out[i])
         ref = container.decompress(container.compress(imgs[i], 50))
         assert np.abs(dec.astype(float) - ref.astype(float)).max() <= 2.0
+
+
+def test_tiled_large_image():
+    """BASELINE config 4 shape: a large image tiled across all devices
+    (scaled down for the CPU mesh; the structure is identical at 4K+)."""
+    img = synthetic_image(512, 1024, seed=44)  # 8192 blocks over 8 shards
+    mesh = make_mesh(8)
+    data = encode_tiled(img, 50, mesh=mesh)
+    assert data == container.compress(img, 50)
+    out = container.decompress(data)
+    assert out.shape == (512, 1024)
