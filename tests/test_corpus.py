@@ -78,3 +78,30 @@ def test_corpus_streams_decode_with_reference(lenna_img):
     assert np.array_equal(
         container.decompress(data), ref.decompress(data)
     )
+
+
+@pytest.mark.parametrize("quality", [10, 50, 90])
+def test_engine_byte_identity_corpus_subset(quality):
+    """The device (exact) encoder is byte-identical to the float64 host
+    encoder -- and therefore to the reference -- across corpus images."""
+    from tinyimgcodec_tpu.engine import Engine
+
+    eng = Engine()
+    for img in corpus.load_corpus(limit=4):
+        assert eng.compress(img, quality) == container.compress(
+            img, quality
+        )
+
+
+def test_engine_decode_byte_identity_corpus_subset():
+    """Device (exact) decode is pixel-identical to the float64 reference
+    decoder across corpus images and qualities."""
+    from tinyimgcodec_tpu.engine import Engine
+
+    eng = Engine()
+    for img in corpus.load_corpus(limit=3):
+        for q in (10, 50, 90):
+            data = container.compress(img, q)
+            assert np.array_equal(
+                eng.decompress(data), container.decompress(data)
+            )

@@ -117,3 +117,15 @@ def test_reference_c_stream_decodes_with_our_decoder(lenna):
         out = container.decompress(proc.stdout)
         assert out.shape == img.shape
         assert metrics.psnr(img, out) > 33.0
+
+
+def test_embedded_stream_device_decode(lenna):
+    """scaled_dct streams decode through the device transform path too
+    (engine exact mode), matching the host/golden decoder bit-for-bit."""
+    from tinyimgcodec_tpu.engine import Engine
+
+    img = lenna[:64, :64]
+    data = native.embedded_encode(img, 2)
+    host = container.decompress(data)
+    dev = Engine().decompress(data)
+    assert np.array_equal(dev, host)
