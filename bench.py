@@ -32,6 +32,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+import contextlib
+import signal
+
+
+@contextlib.contextmanager
+def _alarm(seconds: int):
+    """Hard per-phase timeout (hung tunnels would otherwise stall the
+    whole benchmark run)."""
+
+    def _raise(*_):
+        raise TimeoutError(f"phase exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def bench_mode(images, quality, precision, assemble, mesh, reps,
                staged=None):
     from tinyimgcodec_tpu.parallel.batch import compress_batch
@@ -49,9 +70,43 @@ def bench_mode(images, quality, precision, assemble, mesh, reps,
     return mp / dt, out
 
 
+def _device_alive(timeout_s: int = 180) -> bool:
+    """Probe the device in a subprocess with a hard timeout (a hung call
+    into a dead remote tunnel cannot be interrupted by signals)."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.jit(lambda x: x + 1)(jnp.float32(1))))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
 def main():
     from tinyimgcodec_tpu import container, corpus, metrics
     from tinyimgcodec_tpu.parallel import make_mesh
+
+    if not _device_alive():
+        log("device unreachable; emitting failure record")
+        print(
+            json.dumps(
+                {
+                    "metric": "corpus_encode_throughput_per_chip",
+                    "value": 0.0,
+                    "unit": "MP/s",
+                    "vs_baseline": 0.0,
+                    "error": "device unreachable (tunnel down)",
+                }
+            )
+        )
+        return
 
     images = corpus.load_corpus()
     log(f"corpus: {images.shape}")
@@ -76,16 +131,17 @@ def main():
         ("pallas-fast/e2e", "fast", None),
     ]:
         try:
-            kw = dict(quality=quality, precision=precision, staged=stg)
-            out = compress_batch_pallas(images, **kw)
-            t0 = time.perf_counter()
-            reps = 5
-            for _ in range(reps):
+            with _alarm(900):
+                kw = dict(quality=quality, precision=precision, staged=stg)
                 out = compress_batch_pallas(images, **kw)
-            dt = (time.perf_counter() - t0) / reps
-            mps = images.size / 1e6 / dt
-            results[name] = mps
-            log(f"encode {name}: {mps:.1f} MP/s")
+                t0 = time.perf_counter()
+                reps = 5
+                for _ in range(reps):
+                    out = compress_batch_pallas(images, **kw)
+                dt = (time.perf_counter() - t0) / reps
+                mps = images.size / 1e6 / dt
+                results[name] = mps
+                log(f"encode {name}: {mps:.1f} MP/s")
         except Exception as e:  # pragma: no cover
             log(f"encode {name} FAILED: {type(e).__name__}: {e}")
 
@@ -95,24 +151,31 @@ def main():
         ("exact/host/e2e", "exact", "host", 1, None),
     ]:
         try:
-            mps, streams = bench_mode(
-                images, quality, precision, assemble, mesh, reps, stg
-            )
-            results[name] = mps
-            log(f"encode {name}: {mps:.1f} MP/s")
+            with _alarm(900):
+                mps, streams = bench_mode(
+                    images, quality, precision, assemble, mesh, reps, stg
+                )
+                results[name] = mps
+                log(f"encode {name}: {mps:.1f} MP/s")
         except Exception as e:  # pragma: no cover
             log(f"encode {name} FAILED: {type(e).__name__}: {e}")
 
     # conformance + quality sanity on the byte-identical mode
     try:
-        _, streams = bench_mode(images[:4], quality, "exact", "host", mesh, 1)
-        ref_bytes = container.compress(images[0], quality)
-        log(f"byte-identity vs host reference: {streams[0] == ref_bytes}")
-        psnrs = [
-            round(metrics.psnr(container.decompress(s), img), 2)
-            for s, img in zip(streams, images[:4])
-        ]
-        log(f"sample PSNRs: {psnrs}")
+        with _alarm(600):
+            _, streams = bench_mode(
+                images[:4], quality, "exact", "host", mesh, 1
+            )
+            ref_bytes = container.compress(images[0], quality)
+            log(
+                "byte-identity vs host reference: "
+                f"{streams[0] == ref_bytes}"
+            )
+            psnrs = [
+                round(metrics.psnr(container.decompress(s), img), 2)
+                for s, img in zip(streams, images[:4])
+            ]
+            log(f"sample PSNRs: {psnrs}")
     except Exception as e:  # pragma: no cover
         log(f"conformance check FAILED: {type(e).__name__}: {e}")
 
