@@ -188,3 +188,18 @@ def test_pallas_pipeline_exact_mode():
         assert abs(len(out[i]) - len(ref)) < 32
         # differing pixels are rare (only tie-affected blocks)
         assert (dec != ref_dec).mean() < 0.05
+
+
+@pytest.mark.parametrize("quality", [10, 50, 90])
+def test_pallas_exact_transform_matches_xla(quality):
+    from tinyimgcodec_tpu.ops.pallas_exact import exact_transform_pallas
+
+    img = synthetic_image(64, 64, seed=95)
+    blocks = np.asarray(transform.blockify(img.astype(np.int32)))
+    zz_pl = np.asarray(
+        exact_transform_pallas(blocks, quality, bt=64, interpret=True)
+    )
+    zz_xla = np.asarray(
+        transform.encode_blocks(blocks, quality, transform.EXACT)
+    )
+    assert np.array_equal(zz_pl, zz_xla)

@@ -1,0 +1,142 @@
+"""Pallas double-float transform kernel (exact-precision encode path).
+
+Computes the quantized zig-zag coefficients with the same double-float
+semantics as ops/transform.py's EXACT mode (error-free Dekker/Knuth
+transforms, round-half-even with exact-tie snapping), entirely in VMEM.
+
+Layout: *coefficient-major* (64, BT) tiles.  The separable DCT runs on
+row-groups: stage 1 builds Y_j = sum_i D[:, i] * X[i, j] as (8, BT)
+arrays (output row u on sublanes, block on lanes -- full VPU width), and
+stage 2 contracts Y_j against scalar basis entries.  All double-float
+helper functions are reused verbatim from ops/df32.py; Mosaic preserves
+strict IEEE semantics (verified on hardware), so no optimization
+barriers are needed beyond the ones df32 already carries.
+
+Output: zz (64, BT) int32 per tile -- transposed by the caller to feed
+the block-major entropy kernel (ops/pallas_encode.py, from_zz).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import ZIGZAG_ORDER, quant_divisors
+from . import df32
+from .transform import dct_basis
+
+
+def _make_kernel(quality: int, bt: int):
+    d64 = dct_basis()  # (8, 8) float64
+    dh, dl = df32.split_hi_lo(d64)
+    recip = 1.0 / quant_divisors(quality)  # (8, 8) float64
+    rh, rl = df32.split_hi_lo(recip)
+    # zigzag as a static row permutation of the row-major (u*8+v) order
+    zz_rows = [int(p) for p in ZIGZAG_ORDER]
+
+    def kernel(x_ref, tab_ref, out_ref):
+        # tab: (4, 8, 8) = [basis hi, basis lo, recip hi, recip lo]
+        tab = tab_ref[...]
+        x = x_ref[...].astype(jnp.float32) - 128.0  # (64, BT), exact
+
+        # ---- stage 1: Y_j[u, :] = sum_i D[u, i] * X[i*8+j, :] ----------
+        y = []  # 8 double-float (8, BT) arrays indexed by j
+        for j in range(8):
+            acc_h = acc_l = None
+            for i in range(8):
+                row = x[i * 8 + j : i * 8 + j + 1, :]  # (1, BT)
+                mh = tab[0, :, i : i + 1]              # (8, 1)
+                ml = tab[1, :, i : i + 1]
+                ph, pe = df32.two_prod(row, mh)        # -> (8, BT)
+                pe = pe + row * ml
+                th, tl = df32.quick_two_sum(ph, pe)
+                if acc_h is None:
+                    acc_h, acc_l = th, tl
+                else:
+                    acc_h, acc_l = df32.df_add(acc_h, acc_l, th, tl)
+            y.append((acc_h, acc_l))
+
+        # ---- stage 2 + quantize: C_v[u, :] = sum_j Y_j[u, :] D[v, j] ---
+        c = []  # row-major coefficient rows (u*8+v) as (1, BT) df pairs
+        for v in range(8):
+            acc_h = acc_l = None
+            for j in range(8):
+                yh, yl = y[j]
+                # double-float x double-float with the (hi, lo) split of
+                # the float64 basis entry as scalar constants
+                th, tl = df32.df_mul(
+                    yh, yl, float(dh[v, j]), float(dl[v, j])
+                )
+                if acc_h is None:
+                    acc_h, acc_l = th, tl
+                else:
+                    acc_h, acc_l = df32.df_add(acc_h, acc_l, th, tl)
+            c.append((acc_h, acc_l))  # (8, BT): rows u for this v
+
+        # quantize rows: q[u, v] = round_half_even(C * recip)
+        q_rows = [None] * 64
+        for v in range(8):
+            ch, cl = c[v]
+            qh, ql = df32.df_mul(
+                ch, cl, tab[2, :, v : v + 1], tab[3, :, v : v + 1]
+            )
+            qv, _ = df32.df_round_half_even(qh, ql)
+            qv = qv.astype(jnp.int32)  # (8, BT)
+            for u in range(8):
+                q_rows[u * 8 + v] = qv[u : u + 1, :]
+
+        out_ref[...] = jnp.concatenate(
+            [q_rows[p] for p in zz_rows], axis=0
+        )
+
+    return kernel
+
+
+@functools.cache
+def _build(quality: int, bt: int, n: int, interpret: bool):
+    kernel = _make_kernel(quality, bt)
+    grid_spec = pl.GridSpec(
+        grid=(n // bt,),
+        in_specs=[
+            pl.BlockSpec((64, bt), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 8, 8), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((64, bt), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+    )
+    d64 = dct_basis()
+    dh, dl = df32.split_hi_lo(d64)
+    rh, rl = df32.split_hi_lo(1.0 / quant_divisors(quality))
+    tab = jnp.asarray(np.stack([dh, dl, rh, rl]), dtype=jnp.float32)
+
+    def call(x_cm):  # (64, N) int32 coefficient-major pixels
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((64, n), jnp.int32),
+            interpret=interpret,
+        )(x_cm, tab)
+
+    return call
+
+
+def exact_transform_pallas(
+    blocks: jnp.ndarray, quality: int, bt: int = 512,
+    interpret: bool = False,
+):
+    """(N, 8, 8)/(N, 64) int blocks -> (N, 64) int32 quantized zig-zag
+    coefficients with double-float (reference-grade) rounding."""
+    n = blocks.shape[0]
+    if n % bt:
+        raise ValueError(f"N={n} not a multiple of tile {bt}")
+    x = blocks.reshape(n, 64).astype(jnp.int32).T  # (64, N)
+    call = _build(int(quality), int(bt), n, interpret)
+    zz = call(x)
+    return zz.T  # (N, 64)

@@ -33,11 +33,14 @@ def _build(b: int, h: int, w: int, quality: int, cap_words: int,
     def run(images):  # (B, H, W) uint8
         blocks = transform.blockify(images)
         if precision == transform.EXACT:
-            # double-float XLA transform (reference-grade rounding; exact
-            # ties resolved by correct round-half-even on device), then
-            # the pallas kernel does the entropy stage
-            zz = transform.encode_blocks(
-                blocks.reshape(b * nb, 8, 8), quality, transform.EXACT
+            # double-float pallas transform (reference-grade rounding;
+            # exact ties resolved by correct round-half-even on device),
+            # then the entropy kernel consumes the coefficients
+            from .ops.pallas_exact import exact_transform_pallas
+
+            zz = exact_transform_pallas(
+                blocks.reshape(b * nb, 64), quality, bt=bt,
+                interpret=interpret,
             )
             words, bits, overflow = encode_pallas(
                 zz, quality, nb=nb, bt=bt, interpret=interpret,
