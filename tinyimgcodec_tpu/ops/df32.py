@@ -27,6 +27,29 @@ _SNAP = 1e-9
 _SPLIT_FACTOR = np.float32(4097.0)  # 2**12 + 1 (Dekker split for f32)
 
 
+_BARRIERS = True
+
+
+class barrier_free:
+    """Disable optimization barriers while tracing a Mosaic kernel body.
+
+    Mosaic cannot lower ``optimization_barrier`` — and does not need it:
+    it lowers the jaxpr directly to MLIR vector/arith ops with strict
+    IEEE semantics (no algebraic reassociation, no FMA contraction), so
+    the error-free transforms survive without pinning.  XLA-compiled
+    paths (including Pallas interpret mode) keep the barriers.
+    """
+
+    def __enter__(self):
+        global _BARRIERS
+        self._saved = _BARRIERS
+        _BARRIERS = False
+
+    def __exit__(self, *exc):
+        global _BARRIERS
+        _BARRIERS = self._saved
+
+
 def _opaque(x):
     """Shield an intermediate from algebraic simplification.
 
@@ -36,6 +59,8 @@ def _opaque(x):
     compiled loop bodies, silently destroying the error terms.  An
     optimization barrier pins the value.
     """
+    if not _BARRIERS:
+        return x
     import jax
 
     return jax.lax.optimization_barrier(x)

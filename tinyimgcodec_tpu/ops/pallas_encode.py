@@ -40,6 +40,11 @@ from . import entropy as entropy_ops
 from .transform import _fast_encode_matrix
 
 BLOCK_WORDS = entropy_ops.BLOCK_WORDS  # 52
+# The packed output carries the per-block bit count as an extra column
+# (53), padded to 56: a separate (N, 1) bits output tempts XLA's memory
+# space assignment into stack-allocating the (lane-padded) result tuple
+# in VMEM, which OOMs the 16 MB scoped limit at corpus scale.
+PACK_COLS = 56
 AC_CHUNK = 8  # zig-zag positions per dynamically-skippable chunk
 
 
@@ -77,7 +82,7 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool = False):
     assert np.all(off_np[1:] == 0.0)
     off0 = float(off_np[0])
 
-    def kernel(x_ref, m_ref, words_ref, bits_ref, over_ref, carry_ref):
+    def kernel(x_ref, m_ref, packed_ref, over_ref, carry_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -209,8 +214,14 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool = False):
             jnp.full((bt, 1), C.EOB_LEN, jnp.int32),
         )
 
-        words_ref[...] = words
-        bits_ref[...] = offset
+        packed_ref[...] = jnp.concatenate(
+            [
+                words,
+                offset.astype(jnp.uint32),
+                jnp.zeros((bt, PACK_COLS - BLOCK_WORDS - 1), jnp.uint32),
+            ],
+            axis=1,
+        )
 
     return kernel
 
@@ -228,9 +239,7 @@ def _build_call(quality: int, nb: int, bt: int, n: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bt, BLOCK_WORDS), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1), lambda t: (t, 0),
+            pl.BlockSpec((bt, PACK_COLS), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -239,18 +248,28 @@ def _build_call(quality: int, nb: int, bt: int, n: int,
     )
     m_np, _ = _fast_encode_matrix(quality)
 
+    # The fully-unrolled 65-step emit chain keeps many (bt, 128)-padded
+    # temporaries live; Mosaic stack-allocates them in scoped VMEM, so
+    # raise the default 16 MB scoped limit (VMEM is 128 MB on v5e).
+    params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
     def call(x):  # (N, 64) int32/uint8
-        words, bits, over = pl.pallas_call(
+        packed, over = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((n, BLOCK_WORDS), jnp.uint32),
-                jax.ShapeDtypeStruct((n, 1), jnp.int32),
+                jax.ShapeDtypeStruct((n, PACK_COLS), jnp.uint32),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ],
+            compiler_params=params,
             interpret=interpret,
         )(x.astype(jnp.int32), jnp.asarray(m_np))
-        return words, bits[:, 0], over[0, 0] > 0
+        words = packed[:, :BLOCK_WORDS]
+        bits = packed[:, BLOCK_WORDS].astype(jnp.int32)
+        return words, bits, over[0, 0] > 0
 
     return call
 

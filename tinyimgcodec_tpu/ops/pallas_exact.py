@@ -31,7 +31,7 @@ from . import df32
 from .transform import dct_basis
 
 
-def _make_kernel(quality: int, bt: int):
+def _make_kernel(quality: int, bt: int, interpret: bool):
     d64 = dct_basis()  # (8, 8) float64
     dh, dl = df32.split_hi_lo(d64)
     recip = 1.0 / quant_divisors(quality)  # (8, 8) float64
@@ -40,6 +40,13 @@ def _make_kernel(quality: int, bt: int):
     zz_rows = [int(p) for p in ZIGZAG_ORDER]
 
     def kernel(x_ref, tab_ref, out_ref):
+        # Mosaic cannot lower optimization_barrier and does not need it
+        # (strict IEEE lowering, no reassociation/FMA contraction); the
+        # interpret path runs through XLA and keeps the barriers.
+        with df32.barrier_free() if not interpret else _nullcontext():
+            _kernel_body(x_ref, tab_ref, out_ref)
+
+    def _kernel_body(x_ref, tab_ref, out_ref):
         # tab: (4, 8, 8) = [basis hi, basis lo, recip hi, recip lo]
         tab = tab_ref[...]
         x = x_ref[...].astype(jnp.float32) - 128.0  # (64, BT), exact
@@ -97,9 +104,17 @@ def _make_kernel(quality: int, bt: int):
     return kernel
 
 
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *exc):
+        return None
+
+
 @functools.cache
 def _build(quality: int, bt: int, n: int, interpret: bool):
-    kernel = _make_kernel(quality, bt)
+    kernel = _make_kernel(quality, bt, interpret)
     grid_spec = pl.GridSpec(
         grid=(n // bt,),
         in_specs=[
