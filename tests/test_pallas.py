@@ -203,3 +203,119 @@ def test_pallas_exact_transform_matches_xla(quality):
         transform.encode_blocks(blocks, quality, transform.EXACT)
     )
     assert np.array_equal(zz_pl, zz_xla)
+
+
+# ---- v2 kernels: coefficient-major encode + placement assembler --------
+
+
+@pytest.mark.parametrize("quality", [10, 50, 90])
+def test_pallas_encode2_matches_v1(quality):
+    from tinyimgcodec_tpu.ops.pallas_encode2 import encode_pallas_cm
+
+    imgs = np.stack(
+        [synthetic_image(64, 64, seed=s) for s in (81, 82)]
+    )
+    blocks = np.asarray(transform.blockify(imgs)).reshape(-1, 64)
+    w1, b1, o1 = encode_pallas(
+        blocks, quality, nb=64, bt=32, interpret=True
+    )
+    packed, o2 = encode_pallas_cm(
+        blocks.T, quality, nb=64, bt=32, interpret=True
+    )
+    assert np.array_equal(np.asarray(w1), np.asarray(packed)[:52].T)
+    assert np.array_equal(
+        np.asarray(b1), np.asarray(packed)[52].astype(np.int32)
+    )
+    assert bool(o1) == bool(o2)
+
+
+@pytest.mark.parametrize("bt", [32, 64])
+def test_pallas_place_matches_stitch(bt):
+    from tinyimgcodec_tpu.ops.pallas_encode2 import encode_pallas_cm
+    from tinyimgcodec_tpu.ops.pallas_place import assemble_cm
+    from tinyimgcodec_tpu.ops.pallas_stitch import stitch_pallas
+
+    imgs = np.stack(
+        [synthetic_image(64, 64, seed=s) for s in (83, 84)]
+    )
+    blocks = np.asarray(transform.blockify(imgs)).reshape(-1, 64)
+    packed, _ = encode_pallas_cm(
+        blocks.T, 50, nb=64, bt=bt, interpret=True
+    )
+    packed = np.asarray(packed)
+    words = packed[:52].T.copy()
+    bits = packed[52].astype(np.int32)
+    cap = words.shape[0] * 52
+    s1 = stitch_pallas(words, bits, nb=64, cap_words=cap, bt=bt,
+                       interpret=True)
+    s2 = assemble_cm(packed, nb=64, cap_words=cap, bt=bt,
+                     interpret=True)
+    assert list(np.asarray(s1[1])) == list(np.asarray(s2[1]))  # starts
+    assert int(s1[2]) == int(s2[2])  # total bits
+    nw = -(-int(s1[2]) // 32)
+    assert np.array_equal(np.asarray(s1[0])[:nw], np.asarray(s2[0])[:nw])
+
+
+def test_pallas_pipeline_v2_matches_v1():
+    from tinyimgcodec_tpu import container, metrics
+    from tinyimgcodec_tpu.pallas_pipeline import compress_batch_pallas
+
+    imgs = np.stack(
+        [synthetic_image(64, 64, seed=s) for s in (85, 86, 87, 88)]
+    )
+    # exact mode: double-float transforms are deterministic across
+    # layouts, so v1 and v2 must agree byte for byte
+    s1 = compress_batch_pallas(
+        imgs, quality=50, bt=64, interpret=True,
+        precision="exact", version="v1",
+    )
+    s2 = compress_batch_pallas(
+        imgs, quality=50, bt=32, interpret=True,
+        precision="exact", version="v2",
+    )
+    assert s1 == s2
+    # fast mode: v2 computes the DCT as M^T @ x instead of x @ M, so
+    # f32 accumulation order differs and isolated coefficients may round
+    # differently; assert rate/distortion parity instead
+    f1 = compress_batch_pallas(
+        imgs, quality=50, bt=64, interpret=True,
+        precision="fast", version="v1",
+    )
+    f2 = compress_batch_pallas(
+        imgs, quality=50, bt=32, interpret=True,
+        precision="fast", version="v2",
+    )
+    for img, a, b in zip(imgs, f1, f2):
+        assert abs(len(a) - len(b)) <= 8
+        pa = metrics.psnr(img, container.decompress(a))
+        pb = metrics.psnr(img, container.decompress(b))
+        assert abs(pa - pb) < 0.05
+
+
+def test_pallas_place_wide_group_fallback():
+    """Groups wider than the fast-path span exercise the per-block path."""
+    from tinyimgcodec_tpu.ops.pallas_encode2 import encode_pallas_cm
+    from tinyimgcodec_tpu.ops.pallas_place import assemble_cm
+    from tinyimgcodec_tpu.ops.pallas_stitch import stitch_pallas
+
+    rng = np.random.RandomState(0)
+    # white noise at q=5 maximizes per-block bits -> wide word spans
+    img = rng.randint(0, 256, (64, 64)).astype(np.uint8)
+    blocks = np.asarray(transform.blockify(img)).reshape(-1, 64)
+    packed, _ = encode_pallas_cm(
+        blocks.T, 90, nb=64, bt=32, interpret=True
+    )
+    packed = np.asarray(packed)
+    words = packed[:52].T.copy()
+    bits = packed[52].astype(np.int32)
+    spans = (
+        np.add.reduceat(bits, np.arange(0, len(bits), 8)) // 32
+    )
+    assert spans.max() > 47  # fallback path genuinely taken
+    cap = words.shape[0] * 52
+    s1 = stitch_pallas(words, bits, nb=64, cap_words=cap, bt=32,
+                       interpret=True)
+    s2 = assemble_cm(packed, nb=64, cap_words=cap, bt=32,
+                     interpret=True)
+    nw = -(-int(s1[2]) // 32)
+    assert np.array_equal(np.asarray(s1[0])[:nw], np.asarray(s2[0])[:nw])

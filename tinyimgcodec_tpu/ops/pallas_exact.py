@@ -129,7 +129,9 @@ def _build(quality: int, bt: int, n: int, interpret: bool):
     d64 = dct_basis()
     dh, dl = df32.split_hi_lo(d64)
     rh, rl = df32.split_hi_lo(1.0 / quant_divisors(quality))
-    tab = jnp.asarray(np.stack([dh, dl, rh, rl]), dtype=jnp.float32)
+    # numpy until call time: a jnp constant created during one jit trace
+    # would leak that trace's tracer into later traces via the cache
+    tab_np = np.stack([dh, dl, rh, rl]).astype(np.float32)
 
     def call(x_cm):  # (64, N) int32 coefficient-major pixels
         return pl.pallas_call(
@@ -137,7 +139,7 @@ def _build(quality: int, bt: int, n: int, interpret: bool):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((64, n), jnp.int32),
             interpret=interpret,
-        )(x_cm, tab)
+        )(x_cm, jnp.asarray(tab_np))
 
     return call
 
@@ -152,6 +154,18 @@ def exact_transform_pallas(
     if n % bt:
         raise ValueError(f"N={n} not a multiple of tile {bt}")
     x = blocks.reshape(n, 64).astype(jnp.int32).T  # (64, N)
+    return exact_transform_pallas_cm(x, quality, bt, interpret).T
+
+
+def exact_transform_pallas_cm(
+    x_cm: jnp.ndarray, quality: int, bt: int = 512,
+    interpret: bool = False,
+):
+    """(64, N) coefficient-major int pixels -> (64, N) int32 quantized
+    zig-zag coefficients (double-float rounding), no transposes --
+    feeds ops/pallas_encode2.py directly."""
+    n = x_cm.shape[1]
+    if n % bt:
+        raise ValueError(f"N={n} not a multiple of tile {bt}")
     call = _build(int(quality), int(bt), n, interpret)
-    zz = call(x)
-    return zz.T  # (N, 64)
+    return call(x_cm.astype(jnp.int32))

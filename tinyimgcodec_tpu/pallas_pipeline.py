@@ -26,9 +26,41 @@ from .xla_cache import ensure_cache
 
 @functools.cache
 def _build(b: int, h: int, w: int, quality: int, cap_words: int,
-           bt: int, interpret: bool, precision: str):
+           bt: int, interpret: bool, precision: str, version: str):
     ensure_cache()
     nb = (h // 8) * (w // 8)
+
+    if version == "v2":
+        from .ops.pallas_encode2 import encode_pallas_cm
+        from .ops.pallas_place import assemble_cm
+
+        def run(images):  # (B, H, W) uint8
+            blocks = transform.blockify(images)
+            x_cm = blocks.reshape(b * nb, 64).T  # (64, N)
+            if precision == transform.EXACT:
+                from .ops.pallas_exact import exact_transform_pallas_cm
+
+                zz_cm = exact_transform_pallas_cm(
+                    x_cm, quality, bt=min(bt, 512), interpret=interpret
+                )
+                packed, overflow = encode_pallas_cm(
+                    zz_cm, quality, nb=nb, bt=bt, interpret=interpret,
+                    from_zz=True,
+                )
+            else:
+                packed, overflow = encode_pallas_cm(
+                    x_cm, quality, nb=nb, bt=bt, interpret=interpret,
+                )
+            stream, starts, total, cap_over = assemble_cm(
+                packed, nb=nb, cap_words=cap_words, bt=bt,
+                interpret=interpret,
+            )
+            status = (
+                jnp.where(cap_over, 2, 0) | jnp.where(overflow, 4, 0)
+            )
+            return stream, starts, total, status
+
+        return jax.jit(run)
 
     def run(images):  # (B, H, W) uint8
         blocks = transform.blockify(images)
@@ -65,17 +97,20 @@ def compress_batch_pallas(
     images,
     quality: int = 50,
     bits_per_pixel_budget: float = 4.0,
-    bt: int = 512,
+    bt: int = 1024,
     interpret: bool = False,
     staged=None,
     precision: str = transform.FAST,
+    version: str = "v2",
 ) -> list[bytes]:
     """(B, H, W) uint8 same-shaped images -> list of compressed bytes.
 
     Single device.  ``staged`` may carry a pre-transferred device array to
     keep the host link out of hot loops.  precision: "fast" (f32) or
     "exact" (double-float transform; reference-grade rounding with exact
-    ties correctly rounded on device).
+    ties correctly rounded on device).  version: "v2" (coefficient-major
+    kernels, ops/pallas_encode2.py + ops/pallas_place.py) or "v1"
+    (block-major + sequential device BitWriter).
     """
     if staged is not None:
         dev_images = staged
@@ -90,11 +125,14 @@ def compress_batch_pallas(
         b, h, w = images.shape
     nb = (h // 8) * (w // 8)
     n = b * nb
-    if n % bt:
-        raise ValueError(f"total blocks {n} not a multiple of bt={bt}")
+    while n % bt or bt > n:
+        bt //= 2
+        if bt < 8:
+            raise ValueError(f"total blocks {n} not tileable")
     cap_words = -(-int(b * h * w * bits_per_pixel_budget) // 32)
 
-    fn = _build(b, h, w, int(quality), cap_words, bt, interpret, precision)
+    fn = _build(b, h, w, int(quality), cap_words, bt, interpret,
+                precision, version)
     stream, starts, total, status = jax.device_get(fn(dev_images))
     if int(status) & (2 | 4):
         if int(status) & 4:
@@ -102,7 +140,7 @@ def compress_batch_pallas(
         # capacity overflow: retry with worst case
         cap_words = n * 52
         fn = _build(b, h, w, int(quality), cap_words, bt, interpret,
-                    precision)
+                    precision, version)
         stream, starts, total, status = jax.device_get(fn(dev_images))
         if int(status) & 2:
             raise ValueError("stream capacity overflow (worst case!)")
