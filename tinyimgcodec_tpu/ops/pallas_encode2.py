@@ -1,4 +1,4 @@
-"""Coefficient-major fused Pallas encode kernel (v2).
+"""Coefficient-major fused Pallas encode kernel (v2/v3).
 
 Second-generation encode kernel.  v1 (ops/pallas_encode.py) is
 block-major -- blocks on sublanes, zig-zag slots on lanes -- which makes
@@ -7,26 +7,36 @@ every per-slot packing step a (bt, 52)-lane masked OR and forces the
 unrolled chain's temporaries (~120 MB of scoped VMEM at bt=512), and the
 measured cost is ~1.7 us/block, spill-bound.
 
-v2 flips the layout to *coefficient-major*: zig-zag slots on sublanes,
-blocks on lanes (the same layout as ops/pallas_exact.py).  Wins:
+This kernel computes in *coefficient-major* -- zig-zag slots on
+sublanes, blocks on lanes (the layout of ops/pallas_exact.py):
 
 - every per-slot quantity (codeword, payload words, bit length, offset)
   is a full-width (1, bt) vector row -- lanes are always 100% utilized;
-- the transform is still one MXU matmul: (64, 64) basis  x  (64, bt);
+- the transform is one MXU matmul; fast mode ingests uint8 block-major
+  tiles straight from ``blockify`` (4x less input DMA than int32) and
+  transposes the matmul result in VMEM;
 - slot payloads are staged to VMEM scratch, so the per-block packing
   loop is a rolled `fori_loop` with dynamic sublane reads -- no unrolled
   chain, register-resident (56, bt) accumulator, tiny VMEM stack;
 - slot bit offsets come from one log-doubling exclusive cumsum along
-  sublanes instead of a sequential carry.
+  sublanes instead of a sequential carry;
+- **global stream offsets are computed in-kernel** (a lane cumsum of
+  per-block bit counts plus an SMEM carry across sequential grid steps,
+  byte-aligned at image boundaries), and every block's packed words are
+  emitted *already bit-shifted to their final stream alignment*.  The
+  stream assembler (ops/pallas_place.py) is left with pure word
+  placement.
 
-Output is (64, n) uint32, column b = one block: rows 0..51 the packed
-big-endian bit words, row 52 the block's total bit count, rows 53..63
-zero.  The stream assembler (ops/pallas_place.py) consumes this
-coefficient-major form directly.
+Outputs: (N, 56) uint32 block-major pre-shifted big-endian stream words
+(col 52+ may carry spill from the alignment shift), plus a lanes-major
+(2, N) uint32 sidecar with row 0 = each block's global stream bit
+offset and row 1 = its bit count.  (Block metadata must not live in
+columns of the big array: a column slice of an (N, 64) tiled layout
+costs ~45 ms at corpus scale on v5e -- strided reads touch every tile.)
 
 Reference semantics (SURVEY 2.5-7/8): fast-mode f32 transform with
-round-half-even quantization; byte-level conformance of the packed
-payloads is pinned against the golden encoder in tests/test_pallas.py.
+round-half-even quantization; conformance is pinned end-to-end against
+the golden encoder in tests/test_pallas.py.
 """
 
 from __future__ import annotations
@@ -47,7 +57,7 @@ from .transform import _fast_encode_matrix
 BLOCK_WORDS = entropy_ops.BLOCK_WORDS  # 52
 SLOTS = 65  # DC + 63 AC + EOB
 SROWS = 72  # slot scratch rows (SLOTS rounded up to a sublane multiple)
-PACK_ROWS = 64  # output rows: 52 words + bits + 11 zero
+ROW_WORDS = 56  # pre-shifted stream words per block (52 + spill + pad)
 EMIT_UNROLL = 5  # slots per fori_loop iteration (65 = 13 * 5)
 
 
@@ -58,23 +68,26 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool):
 
     assert np.all(off_np[1:] == 0.0)
     off0 = float(off_np[0])
+    assert bt <= nb, "a tile must not span more than one image boundary"
 
-    def kernel(x_ref, m_ref, out_ref, over_ref, carry_ref,
+    def kernel(x_ref, m_ref, out_ref, meta_ref, over_ref, carry_ref,
                sw0_ref, sw1_ref, soff_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            carry_ref[0] = 0
+            carry_ref[0] = 0  # DC predictor
+            carry_ref[1] = 0  # global stream bit offset
             over_ref[0, 0] = 0
 
         if from_zz:
             zz = x_ref[...]  # (64, bt) pre-quantized zig-zag
         else:
-            x = x_ref[...].astype(jnp.float32)  # (64, bt)
-            zzf = jnp.dot(
-                m_ref[...], x, preferred_element_type=jnp.float32
+            x = x_ref[...].astype(jnp.int32).astype(jnp.float32)
+            y = jnp.dot(  # (bt, 64) block-major
+                x, m_ref[...], preferred_element_type=jnp.float32
             )
+            zzf = y.T  # (64, bt) coefficient-major
             row = jax.lax.broadcasted_iota(jnp.int32, (64, bt), 0)
             zzf = jnp.where(row == 0, zzf - off0, zzf)
             zz = jnp.round(zzf).astype(jnp.int32)
@@ -85,7 +98,8 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool):
         prev = pltpu.roll(dc, 1, 1)
         prev = jnp.where(lane == 0, carry_ref[0], prev)
         gidx = t * bt + lane
-        prev = jnp.where(gidx % nb == 0, 0, prev)
+        boundary = gidx % nb == 0  # (1, bt); at most one True (bt <= nb)
+        prev = jnp.where(boundary, 0, prev)
         dc_diff = dc - prev
         carry_ref[0] = jnp.sum(jnp.where(lane == bt - 1, dc, 0))
 
@@ -171,22 +185,42 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool):
             csum = csum + jnp.where(srow >= d, rolled, 0)
         soff_ref[...] = csum - slen  # exclusive; row SLOTS = total bits
 
-        # ---- per-block packing: rolled emit loop ------------------------
-        sub56 = jax.lax.broadcasted_iota(jnp.int32, (56, bt), 0)
+        # ---- global stream offsets (lane cumsum + SMEM carry) ----------
+        blk_bits = csum[SLOTS : SLOTS + 1, :] - slen[SLOTS : SLOTS + 1, :]
+        inc = blk_bits
+        d = 1
+        while d < bt:
+            rolled = pltpu.roll(inc, d, 1)
+            inc = inc + jnp.where(lane >= d, rolled, 0)
+            d *= 2
+        pre = carry_ref[1] + inc - blk_bits  # exclusive global offsets
+        # byte-align the image boundary (at most one per tile)
+        cb = jnp.sum(jnp.where(boundary, pre, 0))
+        has_b = jnp.max(boundary.astype(jnp.int32))
+        delta = jnp.where(has_b > 0, ((cb + 7) & ~7) - cb, 0)
+        b_lane = jnp.sum(jnp.where(boundary, lane, 0))
+        off = pre + jnp.where(
+            (lane >= b_lane) & (has_b > 0), delta, 0
+        )  # (1, bt)
+        carry_ref[1] = carry_ref[1] + jnp.sum(blk_bits) + delta
+
+        # ---- per-block packing: rolled emit loop, globally aligned -----
+        sub56 = jax.lax.broadcasted_iota(jnp.int32, (ROW_WORDS, bt), 0)
+        shblk = off & 31  # (1, bt): block's bit phase within its word
 
         def emit(i, acc):
             for j in range(EMIT_UNROLL):
                 k = i * EMIT_UNROLL + j
                 w0 = sw0_ref[pl.ds(k, 1), :]
                 w1 = sw1_ref[pl.ds(k, 1), :]
-                off = soff_ref[pl.ds(k, 1), :]
-                sh = (off & 31).astype(jnp.uint32)
-                nsh = ((32 - (off & 31)) & 31).astype(jnp.uint32)
-                has = (off & 31) > 0
+                so = soff_ref[pl.ds(k, 1), :] + shblk
+                sh = (so & 31).astype(jnp.uint32)
+                nsh = ((32 - (so & 31)) & 31).astype(jnp.uint32)
+                has = (so & 31) > 0
                 c0 = w0 >> sh
                 c1 = jnp.where(has, w0 << nsh, jnp.uint32(0)) | (w1 >> sh)
                 c2 = jnp.where(has, w1 << nsh, jnp.uint32(0))
-                tgt = off >> 5  # (1, bt)
+                tgt = so >> 5  # (1, bt)
                 acc = (
                     acc
                     | jnp.where(sub56 == tgt, c0, jnp.uint32(0))
@@ -197,13 +231,12 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool):
 
         acc = jax.lax.fori_loop(
             0, SLOTS // EMIT_UNROLL, emit,
-            jnp.zeros((56, bt), jnp.uint32),
+            jnp.zeros((ROW_WORDS, bt), jnp.uint32),
         )
 
-        total = soff_ref[SLOTS : SLOTS + 1, :].astype(jnp.uint32)
-        out_ref[...] = jnp.concatenate(
-            [acc[:BLOCK_WORDS], total,
-             jnp.zeros((PACK_ROWS - BLOCK_WORDS - 1, bt), jnp.uint32)],
+        out_ref[...] = acc.T
+        meta_ref[...] = jnp.concatenate(
+            [off.astype(jnp.uint32), blk_bits.astype(jnp.uint32)],
             axis=0,
         )
 
@@ -215,66 +248,80 @@ def _build_call(quality: int, nb: int, bt: int, n: int,
                 interpret: bool, from_zz: bool):
     assert SLOTS % EMIT_UNROLL == 0
     kernel = _make_kernel(quality, nb, bt, from_zz)
+    in_dtype = jnp.int32 if from_zz else jnp.uint8
+    in_spec = (
+        pl.BlockSpec((64, bt), lambda t: (0, t), memory_space=pltpu.VMEM)
+        if from_zz
+        else pl.BlockSpec((bt, 64), lambda t: (t, 0),
+                          memory_space=pltpu.VMEM)
+    )
     grid_spec = pl.GridSpec(
         grid=(n // bt,),
         in_specs=[
-            pl.BlockSpec((64, bt), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),
+            in_spec,
             pl.BlockSpec((64, 64), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((PACK_ROWS, bt), lambda t: (0, t),
+            pl.BlockSpec((bt, ROW_WORDS), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bt), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.VMEM((SROWS, bt), jnp.uint32),
             pltpu.VMEM((SROWS, bt), jnp.uint32),
             pltpu.VMEM((SROWS, bt), jnp.int32),
         ],
     )
     m_np, _ = _fast_encode_matrix(quality)
-    m_t = np.ascontiguousarray(m_np.T)
     params = None if interpret else pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),
     )
 
-    def call(x_cm):  # (64, N) int32 coefficient-major
-        packed, over = pl.pallas_call(
+    def call(x):
+        packed, meta, over = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((PACK_ROWS, n), jnp.uint32),
+                jax.ShapeDtypeStruct((n, ROW_WORDS), jnp.uint32),
+                jax.ShapeDtypeStruct((2, n), jnp.uint32),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ],
             compiler_params=params,
             interpret=interpret,
-        )(x_cm.astype(jnp.int32), jnp.asarray(m_t))
-        return packed, over[0, 0] > 0
+        )(x.astype(in_dtype), jnp.asarray(m_np, jnp.float32))
+        return packed, meta, over[0, 0] > 0
 
     return call
 
 
-def encode_pallas_cm(
-    blocks_cm: jnp.ndarray,
+def encode_pallas2(
+    blocks: jnp.ndarray,
     quality: int,
     nb: int,
     bt: int = 1024,
     interpret: bool = False,
     from_zz: bool = False,
 ):
-    """(64, N) coefficient-major pixels (or zig-zag coefficients with
-    from_zz=True) -> ((64, N) packed uint32, overflow bool).
+    """Fused encode to stream-aligned block rows.
 
-    Row 52 of the packed output is the per-block bit count.  nb: blocks
-    per image (DC predictor reset period); N must be a multiple of bt.
+    blocks: (N, 64) uint8 block-major pixels (fast mode), or (64, N)
+    int32 coefficient-major quantized zig-zag coefficients
+    (from_zz=True, e.g. from ops/pallas_exact.py).
+
+    Returns ((N, 56) uint32 packed rows, (2, N) uint32 meta, overflow
+    bool): packed rows hold each block's stream words already shifted to
+    their global bit alignment; meta row 0 is the global bit offset, row
+    1 the bit count.  nb: blocks per image (DC reset + byte-aligned
+    image boundaries).  N must be a multiple of bt and bt <= nb.
     """
-    n = blocks_cm.shape[1]
+    n = blocks.shape[1] if from_zz else blocks.shape[0]
     if n % bt:
         raise ValueError(f"N={n} not a multiple of tile {bt}")
     call = _build_call(int(quality), int(nb), int(bt), n, interpret,
                        from_zz)
-    return call(blocks_cm)
+    return call(blocks)

@@ -1,31 +1,34 @@
-"""Stream assembly v2: XLA pre-shift + Pallas word-placement kernel.
+"""Stream assembly: word placement of pre-aligned block rows.
 
 The v1 device BitWriter (ops/pallas_stitch.py) walks blocks one at a
 time carrying the global bit offset in SMEM -- ~1.6 us/block on
 hardware, dominated by per-iteration loop overhead and per-block
 predicated bookkeeping, not by data movement.
 
-v2 splits the work by what each engine is good at:
+Here all bit-level work already happened inside the encode kernel
+(ops/pallas_encode2.py emits every block's words shifted to their final
+stream alignment, plus the global bit offset per block), so assembly is
+pure *word placement*: OR block row b into the stream at word
+``offset_b >> 5``.  Structure (all shaped by measured v5e costs -- the
+serial-per-group version of this kernel ran at ~2 us/group, dominated by
+branches, not data):
 
-1. **XLA (vectorized, no serial state):** global bit offsets are an
-   exclusive cumsum of per-block bit counts (with byte alignment folded
-   in at image boundaries: aligned image starts are a cumsum of
-   byte-rounded image totals).  Every block row is then *bit-shifted to
-   its final alignment* with two elementwise passes -- per-lane variable
-   shifts are native VPU ops, so the only thing XLA cannot do fast
-   (data-dependent placement) is deferred.
-2. **Pallas (placement only):** pre-shifted rows need just an OR at a
-   word offset.  The kernel processes groups of 8 blocks per iteration
-   -- one (8, 128) vector register -- placing each sublane at its
-   relative word delta via an incremental roll + compare-select chain,
-   OR-reducing the sublanes, and read-modify-writing two 128-word rows
-   of the VMEM-resident output.  Group spans are precomputed so the
-   chain runs 16 steps in the common case, extends to 48 under a
-   conditional, and falls back to per-block placement for rare wide
-   groups (the worst legal block is 52 words).
+1. **Tile-vectorized placement chain.**  For a whole (bt, 128) tile at
+   once, every block row is placed at its word delta relative to its
+   8-block group's base via an incremental lane-roll + compare-select
+   chain.  The chain runs 16 steps always and another 32 only when the
+   tile's precomputed max group span needs them.
+2. **Tile-vectorized group reduce.**  Blocks of a group occupy 8
+   consecutive sublanes; a masked segmented OR (3 roll steps) collapses
+   them into one window row per group.
+3. **Short serial loop.**  Per group, the only remaining work is one
+   dynamic roll to the base word's phase and a read-OR-write of two
+   128-word rows of the VMEM-resident output.  Groups wider than the
+   chain (span > 47 words; the worst legal block is 52 words) fall back
+   to per-block placement.
 
 No serial bit state survives anywhere: grid steps carry nothing, every
-iteration's target comes from the precomputed offsets.
+iteration's target comes from the encode kernel's offsets.
 """
 
 from __future__ import annotations
@@ -38,28 +41,63 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import entropy as entropy_ops
+from .pallas_encode2 import ROW_WORDS
 
-BLOCK_WORDS = entropy_ops.BLOCK_WORDS  # 52
-ROW_COLS = 56      # pre-shifted row words (52 + spill + pad)
 OUT_COLS = 128     # output row width in words
-GROUP = 8          # blocks per placement iteration
-SPAN1 = 15         # word span handled by the base chain
+GROUP = 8          # blocks per placement group
+SPAN1 = 15         # word span handled by the always-on chain
 SPAN2 = 47         # span handled by the conditional extension
 
 
 def _make_kernel(bt: int, cap_rows: int):
     ng = bt // GROUP
 
-    def kernel(rows_ref, w_ref, base_ref, span_ref, drel_ref, out_ref):
+    def kernel(rows_ref, w_ref, span_ref, drel_ref, ms_ref, out_ref,
+               acc_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        sub8 = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
+        rows = jnp.concatenate(
+            [rows_ref[...],
+             jnp.zeros((bt, OUT_COLS - ROW_WORDS), jnp.uint32)],
+            axis=1,
+        )  # (bt, 128)
+        dmat = jnp.broadcast_to(
+            drel_ref[...].T, (bt, OUT_COLS)
+        )  # word delta per block, broadcast along lanes
+        ms = ms_ref[0, t]  # max group span in this tile
+
+        def chain(lo, hi, acc, r):
+            for d in range(lo, hi):
+                if d:
+                    r = pltpu.roll(r, 1, 1)
+                acc = acc | jnp.where(dmat == d, r, jnp.uint32(0))
+            return acc, r
+
+        acc, _ = chain(0, SPAN1 + 1, jnp.zeros_like(rows), rows)
+        acc_ref[...] = acc
+
+        @pl.when(ms > SPAN1)
+        def _():
+            # chain() pre-rolls by one before d's first use, so seed
+            # with rows already rolled to SPAN1 (not SPAN1 + 1)
+            r = pltpu.roll(rows, SPAN1, 1)
+            ext, _ = chain(SPAN1 + 1, SPAN2 + 1,
+                           jnp.zeros_like(rows), r)
+            acc_ref[...] = acc_ref[...] | ext
+
+        # segmented OR over each group's 8 sublanes into sublane 8g
+        sub = jax.lax.broadcasted_iota(jnp.int32, (bt, OUT_COLS), 0)
+        red = acc_ref[...]
+        for d in (4, 2, 1):
+            shifted = pltpu.roll(red, bt - d, 0)  # row i+d -> i
+            red = red | jnp.where(
+                (sub & (GROUP - 1)) + d < GROUP, shifted, jnp.uint32(0)
+            )
+        acc_ref[...] = red
 
         def rmw(q, placed):
             """OR a (1, 256) window into output rows q, q+1 (clamped)."""
@@ -75,58 +113,25 @@ def _make_kernel(bt: int, cap_rows: int):
             dq = w & 127
             rmw(q, pltpu.roll(row256, dq, 1))
 
+        zpad = jnp.zeros((1, OUT_COLS), jnp.uint32)
+
         def group_body(g, carry):
             span = span_ref[0, g]
-            big = span > SPAN2
 
-            @pl.when(jnp.logical_not(big))
+            @pl.when(span <= SPAN2)
             def _():
-                rows8 = rows_ref[pl.ds(g * GROUP, GROUP), :]  # (8, 56)
-                rows8 = jnp.concatenate(
-                    [rows8,
-                     jnp.zeros((GROUP, OUT_COLS - ROW_COLS), jnp.uint32)],
-                    axis=1,
-                )  # (8, 128)
-                drow = drel_ref[pl.ds(g, 1), :]  # (1, 8)
-                bc = jnp.broadcast_to(drow, (GROUP, GROUP))
-                dcol = jnp.sum(
-                    jnp.where(lane8 == sub8, bc, 0), axis=1, keepdims=True
-                )  # (8, 1): word delta per sublane
-
-                def chain(lo, hi, acc, r):
-                    for d in range(lo, hi):
-                        if d:
-                            r = pltpu.roll(r, 1, 1)
-                        acc = acc | jnp.where(
-                            dcol == d, r, jnp.uint32(0)
-                        )
-                    return acc, r
-
-                acc, r = chain(0, SPAN1 + 1,
-                               jnp.zeros_like(rows8), rows8)
-                acc, r = jax.lax.cond(
-                    span > SPAN1,
-                    lambda a_r: chain(SPAN1 + 1, SPAN2 + 1, *a_r),
-                    lambda a_r: a_r,
-                    (acc, r),
-                )
-                red = acc
-                for d in (4, 2, 1):
-                    red = red | pltpu.roll(red, d, 0)
                 win = jnp.concatenate(
-                    [red[0:1, :], jnp.zeros((1, OUT_COLS), jnp.uint32)],
-                    axis=1,
+                    [acc_ref[pl.ds(g * GROUP, 1), :], zpad], axis=1
                 )  # (1, 256)
-                place_row(win, base_ref[0, g])
+                place_row(win, w_ref[0, g * GROUP])
 
-            @pl.when(big)
+            @pl.when(span > SPAN2)
             def _():
                 def blk(s, c):
                     w = w_ref[0, g * GROUP + s]
-                    row = rows_ref[pl.ds(g * GROUP + s, 1), :]  # (1, 56)
                     row = jnp.concatenate(
-                        [row,
-                         jnp.zeros((1, 2 * OUT_COLS - ROW_COLS),
+                        [rows_ref[pl.ds(g * GROUP + s, 1), :],
+                         jnp.zeros((1, 2 * OUT_COLS - ROW_WORDS),
                                    jnp.uint32)],
                         axis=1,
                     )  # (1, 256)
@@ -145,29 +150,36 @@ def _make_kernel(bt: int, cap_rows: int):
 @functools.cache
 def _build(bt: int, n: int, cap_rows: int, interpret: bool):
     ng_total = n // GROUP
+    ntiles = n // bt
     kernel = _make_kernel(bt, cap_rows)
     grid_spec = pl.GridSpec(
-        grid=(n // bt,),
+        grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((bt, ROW_COLS), lambda t: (t, 0),
+            pl.BlockSpec((bt, ROW_WORDS), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bt), lambda t: (0, t),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bt // GROUP), lambda t: (0, t),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bt // GROUP), lambda t: (0, t),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((bt // GROUP, GROUP), lambda t: (t, 0),
+            pl.BlockSpec((1, bt), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
+            # whole maxspan row resident (ntiles is small; a (1, 1)
+            # block would violate the lane-divisibility rule)
+            pl.BlockSpec((1, ntiles), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((cap_rows, OUT_COLS), lambda t: (0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bt, OUT_COLS), jnp.uint32)],
     )
+    # full-resident output (cap/128 x 128 words) + the unrolled chain's
+    # temporaries exceed the 16 MB default scoped-VMEM limit
     params = None if interpret else pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=100 * 1024 * 1024,
     )
 
-    def call(rows, w, base, span, drel):
+    def call(packed, w, span, drel, maxspan):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -175,61 +187,44 @@ def _build(bt: int, n: int, cap_rows: int, interpret: bool):
                                            jnp.uint32),
             compiler_params=params,
             interpret=interpret,
-        )(rows, w.reshape(1, n), base.reshape(1, ng_total),
-          span.reshape(1, ng_total), drel)
+        )(packed, w.reshape(1, n), span.reshape(1, ng_total),
+          drel.reshape(1, n), maxspan.reshape(1, ntiles))
 
     return call
 
 
 def assemble_cm(
-    packed_cm: jnp.ndarray,
+    packed: jnp.ndarray,
+    meta: jnp.ndarray,
     nb: int,
     cap_words: int,
     bt: int = 1024,
     interpret: bool = False,
 ):
-    """(64, N) coefficient-major packed blocks -> one byte-aligned stream.
+    """(N, 56) pre-aligned packed blocks -> one byte-aligned stream.
 
-    packed_cm: output of ops/pallas_encode2.py (rows 0..51 = words, row
-    52 = bit count).  nb: blocks per image; image streams are
-    byte-aligned.  Returns (stream_words (cap,), image_start_bits
+    packed/meta: outputs of ops/pallas_encode2.py (stream-aligned word
+    rows; meta row 0 = global bit offsets, row 1 = bit counts).  nb:
+    blocks per image.  Returns (stream_words (cap,), image_start_bits
     (n_images,), total_bits, overflow_bool).
     """
-    n = packed_cm.shape[1]
+    n = packed.shape[0]
     if n % bt:
         raise ValueError(f"N={n} not a multiple of tile {bt}")
-    n_img = max(n // nb, 1)
     cap_rows = max(-(-cap_words // OUT_COLS), 4)
 
-    bits = packed_cm[BLOCK_WORDS].astype(jnp.int32)  # (n,)
-    img_bits = bits.reshape(n_img, nb).sum(axis=1)
-    img_aligned = (img_bits + 7) & ~7
-    img_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(img_aligned, dtype=jnp.int32)[:-1]]
-    )
-    within = jnp.cumsum(
-        bits.reshape(n_img, nb), axis=1, dtype=jnp.int32
-    ) - bits.reshape(n_img, nb)
-    off = (img_start[:, None] + within).reshape(n)
-    total_bits = img_start[-1] + img_bits[-1]
+    off = meta[0].astype(jnp.int32)  # (n,)
+    total_bits = off[-1] + meta[1, -1].astype(jnp.int32)
+    starts = off[::nb]
 
-    rows = packed_cm[:BLOCK_WORDS].T  # (n, 52)
-    rows = jnp.pad(rows, ((0, 0), (0, ROW_COLS - BLOCK_WORDS)))
-    sh = (off & 31).astype(jnp.uint32)[:, None]
-    prev = jnp.pad(rows[:, :-1], ((0, 0), (1, 0)))
-    nsh = (32 - sh) & 31  # sh==0 guarded by the where
-    shifted = jnp.where(
-        sh > 0, (rows >> sh) | (prev << nsh), rows
-    )
-
-    w = (off >> 5).astype(jnp.int32)
+    w = off >> 5
     wg = w.reshape(-1, GROUP)
-    base = wg[:, 0]
-    drel = wg - base[:, None]
-    span = drel[:, GROUP - 1]
+    drelg = wg - wg[:, 0:1]
+    span = drelg[:, GROUP - 1]
+    drel = drelg.reshape(n)
+    maxspan = span.reshape(n // bt, bt // GROUP).max(axis=1)
 
     call = _build(int(bt), n, int(cap_rows), interpret)
-    out = call(shifted, w, base, span, drel)
+    out = call(packed, w, span, drel, maxspan)
     overflow = (total_bits >> 5) >= cap_words
-    return out.reshape(-1), img_start, total_bits, overflow
+    return out.reshape(-1), starts, total_bits, overflow

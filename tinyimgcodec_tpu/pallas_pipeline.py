@@ -31,28 +31,28 @@ def _build(b: int, h: int, w: int, quality: int, cap_words: int,
     nb = (h // 8) * (w // 8)
 
     if version == "v2":
-        from .ops.pallas_encode2 import encode_pallas_cm
+        from .ops.pallas_encode2 import encode_pallas2
         from .ops.pallas_place import assemble_cm
 
         def run(images):  # (B, H, W) uint8
-            blocks = transform.blockify(images)
-            x_cm = blocks.reshape(b * nb, 64).T  # (64, N)
+            blocks = transform.blockify(images).reshape(b * nb, 64)
             if precision == transform.EXACT:
                 from .ops.pallas_exact import exact_transform_pallas_cm
 
                 zz_cm = exact_transform_pallas_cm(
-                    x_cm, quality, bt=min(bt, 512), interpret=interpret
+                    blocks.astype(jnp.int32).T, quality,
+                    bt=min(bt, 512), interpret=interpret,
                 )
-                packed, overflow = encode_pallas_cm(
+                packed, meta, overflow = encode_pallas2(
                     zz_cm, quality, nb=nb, bt=bt, interpret=interpret,
                     from_zz=True,
                 )
             else:
-                packed, overflow = encode_pallas_cm(
-                    x_cm, quality, nb=nb, bt=bt, interpret=interpret,
+                packed, meta, overflow = encode_pallas2(
+                    blocks, quality, nb=nb, bt=bt, interpret=interpret,
                 )
             stream, starts, total, cap_over = assemble_cm(
-                packed, nb=nb, cap_words=cap_words, bt=bt,
+                packed, meta, nb=nb, cap_words=cap_words, bt=bt,
                 interpret=interpret,
             )
             status = (
@@ -125,7 +125,8 @@ def compress_batch_pallas(
         b, h, w = images.shape
     nb = (h // 8) * (w // 8)
     n = b * nb
-    while n % bt or bt > n:
+    # tiles must divide the block count and not span an image boundary
+    while n % bt or bt > nb:
         bt //= 2
         if bt < 8:
             raise ValueError(f"total blocks {n} not tileable")
