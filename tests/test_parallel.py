@@ -85,3 +85,52 @@ def test_tiled_large_image():
     assert data == container.compress(img, 50)
     out = container.decompress(data)
     assert out.shape == (512, 1024)
+
+
+def test_batch_pallas_sharded_matches_single_device():
+    """Pallas v2 under shard_map == single-device pallas v2, per image.
+
+    Exact mode is deterministic across shardings (double-float
+    transform), so the sharded streams must be byte-identical.
+    """
+    from tinyimgcodec_tpu.pallas_pipeline import compress_batch_pallas
+    from tinyimgcodec_tpu.parallel.batch import (
+        compress_batch_pallas_sharded,
+    )
+
+    imgs = np.stack(
+        [synthetic_image(64, 64, seed=s) for s in range(40, 56)]
+    )  # 16 images over 8 devices -> 2 per shard
+    mesh = make_mesh()
+    sharded = compress_batch_pallas_sharded(
+        imgs, quality=50, mesh=mesh, precision="exact", interpret=True
+    )
+    single = compress_batch_pallas(
+        imgs, quality=50, bt=32, interpret=True, precision="exact",
+        version="v2",
+    )
+    assert sharded == single
+    # every stream decodes
+    dec = container.decompress(sharded[3])
+    assert dec.shape == (64, 64)
+
+
+def test_batch_pallas_sharded_ragged_batch():
+    """Batch not divisible by the mesh: zero-padded shards, real images
+    sliced back out."""
+    from tinyimgcodec_tpu.parallel.batch import (
+        compress_batch_pallas_sharded,
+    )
+
+    imgs = np.stack(
+        [synthetic_image(32, 32, seed=s) for s in range(90, 95)]
+    )  # 5 images over 8 devices
+    mesh = make_mesh()
+    out = compress_batch_pallas_sharded(
+        imgs, quality=50, mesh=mesh, precision="exact", interpret=True
+    )
+    assert len(out) == 5
+    for img, s in zip(imgs, out):
+        ref = container.compress(img, 50)
+        assert abs(len(s) - len(ref)) <= 16
+        assert container.decompress(s).shape == img.shape

@@ -202,3 +202,145 @@ def compress_batch(
         else:
             out.append(header + pack_ragged_words(w_i, bits_i))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas v2 pipeline under shard_map (the flagship throughput path, scaled)
+# ---------------------------------------------------------------------------
+
+@functools.cache
+def _build_pallas(mesh_key, quality: int, precision: str, nb: int,
+                  b_local: int, cap_words_local: int, bt: int,
+                  interpret: bool):
+    ensure_cache()
+    mesh = mesh_key.mesh
+    axis = mesh.axis_names[0]
+
+    from ..ops.pallas_encode2 import encode_pallas2
+    from ..ops.pallas_place import assemble_cm
+
+    def body(images_local):  # (b_local, H, W) uint8, one shard
+        blocks = transform.blockify(images_local).reshape(
+            b_local * nb, 64
+        )
+        if precision == transform.EXACT:
+            from ..ops.pallas_exact import exact_transform_pallas_cm
+
+            zz_cm = exact_transform_pallas_cm(
+                blocks.astype(jnp.int32).T, quality,
+                bt=min(bt, 512), interpret=interpret,
+            )
+            packed, meta, over = encode_pallas2(
+                zz_cm, quality, nb=nb, bt=bt, interpret=interpret,
+                from_zz=True,
+            )
+        else:
+            packed, meta, over = encode_pallas2(
+                blocks, quality, nb=nb, bt=bt, interpret=interpret,
+            )
+        stream, starts, total, cap_over = assemble_cm(
+            packed, meta, nb=nb, cap_words=cap_words_local, bt=bt,
+            interpret=interpret,
+        )
+        status = (
+            jnp.where(cap_over, 2, 0) | jnp.where(over, 4, 0)
+        ).astype(jnp.int32)
+        status = jax.lax.pmax(status, axis)
+        return (
+            stream.reshape(1, -1), starts.reshape(1, -1),
+            total.reshape(1), status.reshape(1),
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=(P(axis),),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            # pallas_call out_shapes carry no varying-mesh-axes info
+            check_vma=False,
+        )
+    )
+
+
+def compress_batch_pallas_sharded(
+    images: np.ndarray | None,
+    quality: int = 50,
+    mesh: Mesh | None = None,
+    precision: str = transform.FAST,
+    bits_per_pixel_budget: float = 4.0,
+    bt: int = 1024,
+    interpret: bool = False,
+    staged=None,
+) -> list[bytes]:
+    """Data-parallel pallas-v2 encode: image batch sharded over the mesh.
+
+    Each device runs the fused encode + placement kernels on its local
+    shard (ops/pallas_encode2.py, ops/pallas_place.py); per-shard
+    streams and per-image bit offsets come back sharded, and the host
+    slices image payloads out (each image's stream is byte-aligned by
+    construction).  precision="exact" uses the double-float transform
+    kernel (reference-grade rounding, ties correctly rounded).
+
+    interpret=True runs the kernels in Pallas interpret mode -- the CPU
+    path used to validate the sharded program on a virtual device mesh.
+    """
+    from .mesh import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    n = mesh.devices.size
+    if staged is not None:
+        padded, b_real = staged
+        h8, w8 = padded.shape[1], padded.shape[2]
+        h, w = (images.shape[1], images.shape[2]) if images is not None \
+            else (h8, w8)
+    else:
+        padded, b_real = _pad_images(images, n)
+        h, w = images.shape[1], images.shape[2]
+        h8, w8 = padded.shape[1], padded.shape[2]
+    nb = (h8 // 8) * (w8 // 8)
+    b_local = padded.shape[0] // n
+    n_blocks_local = b_local * nb
+    bt_eff = bt
+    while n_blocks_local % bt_eff or bt_eff > nb:
+        bt_eff //= 2
+        if bt_eff < 8:
+            raise ValueError("shard block count not tileable")
+    cap_local = max(
+        -(-int(b_local * h8 * w8 * bits_per_pixel_budget) // 32), 256
+    )
+    key = _MeshKey(mesh)
+
+    fn = _build_pallas(key, int(quality), precision, nb, b_local,
+                       cap_local, bt_eff, interpret)
+    streams, starts, totals, status = jax.device_get(fn(padded))
+    if np.any(np.asarray(status) & (2 | 4)):
+        if np.any(np.asarray(status) & 4):
+            raise ValueError("coefficient out of Huffman table range")
+        cap_local = n_blocks_local * entropy.BLOCK_WORDS
+        fn = _build_pallas(key, int(quality), precision, nb, b_local,
+                           cap_local, bt_eff, interpret)
+        streams, starts, totals, status = jax.device_get(fn(padded))
+        if np.any(np.asarray(status) & 2):
+            raise ValueError("stream capacity overflow (worst case!)")
+
+    header = container.make_header(
+        CodecArrays(
+            height=h, width=w, quality=quality,
+            dc=np.empty(0, np.int32), ac=np.empty((0, 63), np.int32),
+        )
+    )
+    streams = np.asarray(streams)    # (n_shards, cap_local)
+    starts = np.asarray(starts)      # (n_shards, b_local) bit offsets
+    totals = np.asarray(totals)      # (n_shards,)
+    out = []
+    for i in range(b_real):
+        shard, j = divmod(i, b_local)
+        raw = streams[shard].astype(">u4").tobytes()
+        s = int(starts[shard, j]) // 8
+        e = (
+            int(starts[shard, j + 1]) // 8
+            if j + 1 < b_local
+            else -(-int(totals[shard]) // 8)
+        )
+        out.append(header + raw[s:e])
+    return out
