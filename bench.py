@@ -237,6 +237,30 @@ def main():
         except Exception as e:  # pragma: no cover
             log(f"encode {name} FAILED: {type(e).__name__}: {e}")
 
+    # decode: C 16-bit-peek LUT entropy decode (the serial half) + one
+    # batched device transform for all 49 streams
+    try:
+        with _alarm(600):
+            from tinyimgcodec_tpu.engine import Engine
+            from tinyimgcodec_tpu.pallas_pipeline import (
+                compress_batch_pallas,
+            )
+
+            streams = compress_batch_pallas(images, quality=quality)
+            eng = Engine(precision="fast")
+            eng.decompress_batch(streams)  # warm compile
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                dec = eng.decompress_batch(streams)
+            dt = (time.perf_counter() - t0) / reps
+            results["decode/e2e"] = images.size / 1e6 / dt
+            log(f"decode/e2e: {results['decode/e2e']:.1f} MP/s")
+            psnr_ok = metrics.psnr(dec[0], images[0])
+            log(f"decode sanity PSNR: {psnr_ok:.2f} dB")
+    except Exception as e:  # pragma: no cover
+        log(f"decode bench FAILED: {type(e).__name__}: {e}")
+
     # conformance + quality sanity on the byte-identical mode
     try:
         with _alarm(600):
