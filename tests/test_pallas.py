@@ -172,22 +172,34 @@ def test_pallas_pipeline_exact_mode():
     out = compress_batch_pallas(
         imgs, 50, bt=64, interpret=True, precision="exact"
     )
-    from tinyimgcodec_tpu import metrics
-
+    # the staged tie fixup makes exact mode byte-identical to the
+    # float64 reference encoder
     for i in range(2):
-        ref = container.compress(imgs[i], 50)
-        # exact mode matches the reference except at exact rational
-        # rounding ties (correct rounding vs scipy float64 noise); a
-        # flipped tie shifts a coefficient by one quantization step, so
-        # assert rate/distortion parity rather than byte identity
-        dec = container.decompress(out[i])
-        ref_dec = container.decompress(ref)
-        p_ours = metrics.psnr(imgs[i], dec)
-        p_ref = metrics.psnr(imgs[i], ref_dec)
-        assert abs(p_ours - p_ref) < 0.05
-        assert abs(len(out[i]) - len(ref)) < 32
-        # differing pixels are rare (only tie-affected blocks)
-        assert (dec != ref_dec).mean() < 0.05
+        assert out[i] == container.compress(imgs[i], 50)
+
+
+def test_pallas_pipeline_exact_tie_fixup():
+    """Every block hits an exact rational DC tie (constant 129 => DC
+    coefficient 8/16 = 0.5 at q=50): the flag+fixup path must fire and
+    still produce byte-identical output."""
+    from tinyimgcodec_tpu import container
+    from tinyimgcodec_tpu.ops.pallas_exact import (
+        exact_transform_pallas_cm,
+    )
+    from tinyimgcodec_tpu.ops import transform as tr
+    from tinyimgcodec_tpu.pallas_pipeline import compress_batch_pallas
+
+    imgs = np.full((1, 32, 32), 129, np.uint8)
+    blocks = np.asarray(tr.blockify(imgs)).reshape(-1, 64)
+    _, flags = exact_transform_pallas_cm(
+        blocks.astype(np.int32).T, 50, bt=16, interpret=True,
+        with_flags=True,
+    )
+    assert np.asarray(flags).all(), "DC ties must be flagged"
+    out = compress_batch_pallas(
+        imgs, 50, bt=16, interpret=True, precision="exact"
+    )
+    assert out[0] == container.compress(imgs[0], 50)
 
 
 @pytest.mark.parametrize("quality", [10, 50, 90])

@@ -31,7 +31,8 @@ from . import df32
 from .transform import dct_basis
 
 
-def _make_kernel(quality: int, bt: int, interpret: bool):
+def _make_kernel(quality: int, bt: int, interpret: bool,
+                 with_flags: bool = False):
     d64 = dct_basis()  # (8, 8) float64
     dh, dl = df32.split_hi_lo(d64)
     recip = 1.0 / quant_divisors(quality)  # (8, 8) float64
@@ -39,14 +40,14 @@ def _make_kernel(quality: int, bt: int, interpret: bool):
     # zigzag as a static row permutation of the row-major (u*8+v) order
     zz_rows = [int(p) for p in ZIGZAG_ORDER]
 
-    def kernel(x_ref, tab_ref, out_ref):
+    def kernel(x_ref, tab_ref, out_ref, *flag_ref):
         # Mosaic cannot lower optimization_barrier and does not need it
         # (strict IEEE lowering, no reassociation/FMA contraction); the
         # interpret path runs through XLA and keeps the barriers.
         with df32.barrier_free() if not interpret else _nullcontext():
-            _kernel_body(x_ref, tab_ref, out_ref)
+            _kernel_body(x_ref, tab_ref, out_ref, *flag_ref)
 
-    def _kernel_body(x_ref, tab_ref, out_ref):
+    def _kernel_body(x_ref, tab_ref, out_ref, flag_ref=None):
         # tab: (4, 8, 8) = [basis hi, basis lo, recip hi, recip lo]
         tab = tab_ref[...]
         x = x_ref[...].astype(jnp.float32) - 128.0  # (64, BT), exact
@@ -87,12 +88,15 @@ def _make_kernel(quality: int, bt: int, interpret: bool):
 
         # quantize rows: q[u, v] = round_half_even(C * recip)
         q_rows = [None] * 64
+        unc_acc = None
         for v in range(8):
             ch, cl = c[v]
             qh, ql = df32.df_mul(
                 ch, cl, tab[2, :, v : v + 1], tab[3, :, v : v + 1]
             )
-            qv, _ = df32.df_round_half_even(qh, ql)
+            qv, unc = df32.df_round_half_even(qh, ql)
+            if with_flags:
+                unc_acc = unc if unc_acc is None else (unc_acc | unc)
             qv = qv.astype(jnp.int32)  # (8, BT)
             for u in range(8):
                 q_rows[u * 8 + v] = qv[u : u + 1, :]
@@ -100,6 +104,13 @@ def _make_kernel(quality: int, bt: int, interpret: bool):
         out_ref[...] = jnp.concatenate(
             [q_rows[p] for p in zz_rows], axis=0
         )
+        if with_flags:
+            # per-block uncertainty flag: any coefficient whose rounding
+            # sits closer to a boundary than double-float error can
+            # certify against float64 (host fixup recomputes the block)
+            flag_ref[...] = jnp.any(
+                unc_acc, axis=0, keepdims=True
+            ).astype(jnp.int32)
 
     return kernel
 
@@ -113,8 +124,22 @@ class _nullcontext:
 
 
 @functools.cache
-def _build(quality: int, bt: int, n: int, interpret: bool):
-    kernel = _make_kernel(quality, bt, interpret)
+def _build(quality: int, bt: int, n: int, interpret: bool,
+           with_flags: bool = False):
+    kernel = _make_kernel(quality, bt, interpret, with_flags)
+    out_specs = pl.BlockSpec((64, bt), lambda t: (0, t),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((64, n), jnp.int32)
+    if with_flags:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, bt), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ]
     grid_spec = pl.GridSpec(
         grid=(n // bt,),
         in_specs=[
@@ -123,8 +148,7 @@ def _build(quality: int, bt: int, n: int, interpret: bool):
             pl.BlockSpec((4, 8, 8), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((64, bt), lambda t: (0, t),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
     )
     d64 = dct_basis()
     dh, dl = df32.split_hi_lo(d64)
@@ -137,7 +161,7 @@ def _build(quality: int, bt: int, n: int, interpret: bool):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((64, n), jnp.int32),
+            out_shape=out_shape,
             interpret=interpret,
         )(x_cm, jnp.asarray(tab_np))
 
@@ -159,13 +183,19 @@ def exact_transform_pallas(
 
 def exact_transform_pallas_cm(
     x_cm: jnp.ndarray, quality: int, bt: int = 512,
-    interpret: bool = False,
+    interpret: bool = False, with_flags: bool = False,
 ):
     """(64, N) coefficient-major int pixels -> (64, N) int32 quantized
     zig-zag coefficients (double-float rounding), no transposes --
-    feeds ops/pallas_encode2.py directly."""
+    feeds ops/pallas_encode2.py directly.
+
+    with_flags=True additionally returns a (1, N) int32 per-block flag
+    marking blocks whose rounding double-float arithmetic cannot certify
+    against the float64 reference (callers recompute those on host to
+    reach byte identity; see pallas_pipeline.compress_batch_pallas).
+    """
     n = x_cm.shape[1]
     if n % bt:
         raise ValueError(f"N={n} not a multiple of tile {bt}")
-    call = _build(int(quality), int(bt), n, interpret)
+    call = _build(int(quality), int(bt), n, interpret, with_flags)
     return call(x_cm.astype(jnp.int32))

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import container
+from .constants import ZIGZAG_ORDER
 from .golden import CodecArrays
 from .ops import transform
 from .ops.pallas_encode import encode_pallas
@@ -93,6 +94,91 @@ def _build(b: int, h: int, w: int, quality: int, cap_words: int,
     return jax.jit(run)
 
 
+@functools.cache
+def _build_exact_staged(b: int, h: int, w: int, quality: int,
+                        cap_words: int, bt: int, interpret: bool):
+    """Byte-identical exact path, staged for the tie fixup.
+
+    Stage 1 runs the double-float pallas transform with per-block
+    uncertainty flags; the host recomputes flagged blocks (rare: exact
+    rational ties plus the occasional rounding sitting inside
+    double-float error, ~1 per several thousand blocks) with the float64
+    golden path and scatters them back; stage 2 entropy-codes and
+    assembles the (now float64-certified) coefficients on device.
+    """
+    ensure_cache()
+    nb = (h // 8) * (w // 8)
+    from .ops.pallas_encode2 import encode_pallas2
+    from .ops.pallas_exact import exact_transform_pallas_cm
+    from .ops.pallas_place import assemble_cm
+
+    def stage1(images):  # (B, H, W) uint8
+        blocks = transform.blockify(images).reshape(b * nb, 64)
+        zz_cm, flags = exact_transform_pallas_cm(
+            blocks.astype(jnp.int32).T, quality, bt=min(bt, 512),
+            interpret=interpret, with_flags=True,
+        )
+        return zz_cm, flags[0], jnp.sum(flags)
+
+    def gather_blocks(images, idx):  # (k,) -> (k, 64) pixel rows
+        blocks = transform.blockify(images).reshape(b * nb, 64)
+        return blocks[idx]
+
+    def patch(zz_cm, idx, vals_cm):  # idx (k,), vals_cm (64, k)
+        return zz_cm.at[:, idx].set(vals_cm)
+
+    def stage2(zz_cm):
+        packed, meta, overflow = encode_pallas2(
+            zz_cm, quality, nb=nb, bt=bt, interpret=interpret,
+            from_zz=True,
+        )
+        stream, starts, total, cap_over = assemble_cm(
+            packed, meta, nb=nb, cap_words=cap_words, bt=bt,
+            interpret=interpret,
+        )
+        status = jnp.where(cap_over, 2, 0) | jnp.where(overflow, 4, 0)
+        return stream, starts, total, status
+
+    return (jax.jit(stage1), jax.jit(gather_blocks), jax.jit(patch),
+            jax.jit(stage2))
+
+
+def _host_zz64(pixel_rows: np.ndarray, quality: int) -> np.ndarray:
+    """(k, 64) pixel rows -> (k, 64) float64-quantized zig-zag rows
+    (the golden/reference math, used to certify flagged blocks)."""
+    from . import golden
+
+    coeffs = golden.quantize(
+        golden.block_dct(
+            pixel_rows.reshape(-1, 8, 8).astype(np.float64) - 128.0
+        ),
+        quality,
+    )
+    return coeffs.reshape(-1, 64)[:, ZIGZAG_ORDER]
+
+
+def _run_exact_staged(dev_images, b, h, w, quality, cap_words, bt,
+                      interpret):
+    import jax
+
+    s1, gather, patch, s2 = _build_exact_staged(
+        b, h, w, quality, cap_words, bt, interpret
+    )
+    zz_cm, flags, nflag = s1(dev_images)
+    if int(nflag):
+        idx = np.flatnonzero(np.asarray(flags))
+        # pad the scatter to a power-of-two size so jit recompiles are
+        # bounded; duplicate indices carry identical values (harmless)
+        k = 1 << max(0, int(len(idx) - 1).bit_length())
+        idx_p = np.concatenate(
+            [idx, np.full(k - len(idx), idx[0])]
+        ).astype(np.int32)
+        pix = np.asarray(gather(dev_images, jnp.asarray(idx_p)))
+        zz64 = _host_zz64(pix, quality).astype(np.int32)
+        zz_cm = patch(zz_cm, jnp.asarray(idx_p), jnp.asarray(zz64.T))
+    return jax.device_get(s2(zz_cm))
+
+
 def compress_batch_pallas(
     images,
     quality: int = 50,
@@ -132,17 +218,25 @@ def compress_batch_pallas(
             raise ValueError(f"total blocks {n} not tileable")
     cap_words = -(-int(b * h * w * bits_per_pixel_budget) // 32)
 
-    fn = _build(b, h, w, int(quality), cap_words, bt, interpret,
-                precision, version)
-    stream, starts, total, status = jax.device_get(fn(dev_images))
+    exact_v2 = precision == transform.EXACT and version == "v2"
+
+    def run(cap):
+        if exact_v2:
+            # staged path: host fixup of rounding-tie blocks makes the
+            # output byte-identical to the float64 reference encoder
+            return _run_exact_staged(
+                dev_images, b, h, w, int(quality), cap, bt, interpret
+            )
+        fn = _build(b, h, w, int(quality), cap, bt, interpret,
+                    precision, version)
+        return jax.device_get(fn(dev_images))
+
+    stream, starts, total, status = run(cap_words)
     if int(status) & (2 | 4):
         if int(status) & 4:
             raise ValueError("coefficient out of Huffman table range")
         # capacity overflow: retry with worst case
-        cap_words = n * 52
-        fn = _build(b, h, w, int(quality), cap_words, bt, interpret,
-                    precision, version)
-        stream, starts, total, status = jax.device_get(fn(dev_images))
+        stream, starts, total, status = run(n * 52)
         if int(status) & 2:
             raise ValueError("stream capacity overflow (worst case!)")
 
