@@ -135,9 +135,13 @@ def bench_mode(images, quality, precision, assemble, mesh, reps,
     return mp / dt, out
 
 
-def _device_alive(timeout_s: int = 180) -> bool:
+def _device_alive(timeout_s: int = 600) -> bool:
     """Probe the device in a subprocess with a hard timeout (a hung call
-    into a dead remote tunnel cannot be interrupted by signals)."""
+    into a dead remote tunnel cannot be interrupted by signals).
+
+    Cold backend init through the tunnel routinely takes 2-6 minutes —
+    round 1's BENCH record was lost to a 180 s probe timing out on a
+    live device — so the timeout is generous and callers retry."""
     import subprocess
 
     code = (
@@ -154,24 +158,40 @@ def _device_alive(timeout_s: int = 180) -> bool:
         return False
 
 
+def _device_alive_retry(attempts: int = 3, backoff_s: int = 60) -> bool:
+    for i in range(attempts):
+        if _device_alive():
+            return True
+        log(f"device probe {i + 1}/{attempts} failed"
+            + (f"; retrying in {backoff_s}s" if i + 1 < attempts else ""))
+        if i + 1 < attempts:
+            time.sleep(backoff_s)
+    return False
+
+
+def _persist_partial(results: dict):
+    """Crash/hang insurance: keep the latest mode table on disk so a
+    partially-completed run still leaves evidence."""
+    import pathlib
+
+    try:
+        p = pathlib.Path(__file__).parent / "reports" / "bench_partial.json"
+        p.parent.mkdir(exist_ok=True)
+        p.write_text(json.dumps(
+            {k: round(v, 2) for k, v in results.items()}, indent=1
+        ))
+    except OSError:
+        pass
+
+
 def main():
     from tinyimgcodec_tpu import container, corpus, metrics
     from tinyimgcodec_tpu.parallel import make_mesh
 
-    if not _device_alive():
-        log("device unreachable; emitting failure record")
-        print(
-            json.dumps(
-                {
-                    "metric": "corpus_encode_throughput_per_chip",
-                    "value": 0.0,
-                    "unit": "MP/s",
-                    "vs_baseline": 0.0,
-                    "error": "device unreachable (tunnel down)",
-                }
-            )
-        )
-        return
+    if not _device_alive_retry():
+        # fail-soft: the probe is advisory — still attempt the real
+        # workload under per-phase alarms rather than recording 0.0
+        log("device probes failed; attempting benchmark anyway")
 
     images = corpus.load_corpus()
     log(f"corpus: {images.shape}")
@@ -195,6 +215,7 @@ def main():
             with _alarm(900):
                 mps = bench_device(images, quality, precision)
                 results[name] = mps
+                _persist_partial(results)
                 log(f"encode {name}: {mps:.1f} MP/s")
         except Exception as e:  # pragma: no cover
             log(f"encode {name} FAILED: {type(e).__name__}: {e}")
@@ -219,6 +240,7 @@ def main():
                 dt = (time.perf_counter() - t0) / reps
                 mps = images.size / 1e6 / dt
                 results[name] = mps
+                _persist_partial(results)
                 log(f"encode {name}: {mps:.1f} MP/s")
         except Exception as e:  # pragma: no cover
             log(f"encode {name} FAILED: {type(e).__name__}: {e}")
@@ -233,6 +255,7 @@ def main():
                     images, quality, precision, assemble, mesh, reps, stg
                 )
                 results[name] = mps
+                _persist_partial(results)
                 log(f"encode {name}: {mps:.1f} MP/s")
         except Exception as e:  # pragma: no cover
             log(f"encode {name} FAILED: {type(e).__name__}: {e}")
@@ -255,6 +278,7 @@ def main():
                 dec = eng.decompress_batch(streams)
             dt = (time.perf_counter() - t0) / reps
             results["decode/e2e"] = images.size / 1e6 / dt
+            _persist_partial(results)
             log(f"decode/e2e: {results['decode/e2e']:.1f} MP/s")
             psnr_ok = metrics.psnr(dec[0], images[0])
             log(f"decode sanity PSNR: {psnr_ok:.2f} dB")
@@ -286,17 +310,16 @@ def main():
         "pallas-fast/device", max(results.values()) if results else 0.0
     )
     log(f"headline (pallas-fast/device): {value:.1f} MP/s")
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_encode_throughput_per_chip",
-                "value": round(value, 2),
-                "unit": "MP/s",
-                "vs_baseline": round(value / BASELINE_MPS, 1),
-                "modes": {k: round(v, 2) for k, v in results.items()},
-            }
-        )
-    )
+    record = {
+        "metric": "corpus_encode_throughput_per_chip",
+        "value": round(value, 2),
+        "unit": "MP/s",
+        "vs_baseline": round(value / BASELINE_MPS, 1),
+        "modes": {k: round(v, 2) for k, v in results.items()},
+    }
+    if not results:
+        record["error"] = "all phases failed (device unreachable?)"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

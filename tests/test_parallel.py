@@ -110,6 +110,9 @@ def test_batch_pallas_sharded_matches_single_device():
         version="v2",
     )
     assert sharded == single
+    # exact mode is byte-identical to the float64 reference encoder
+    assert sharded[0] == container.compress(imgs[0], 50)
+    assert sharded[-1] == container.compress(imgs[-1], 50)
     # every stream decodes
     dec = container.decompress(sharded[3])
     assert dec.shape == (64, 64)
@@ -131,6 +134,5 @@ def test_batch_pallas_sharded_ragged_batch():
     )
     assert len(out) == 5
     for img, s in zip(imgs, out):
-        ref = container.compress(img, 50)
-        assert abs(len(s) - len(ref)) <= 16
+        assert s == container.compress(img, 50)
         assert container.decompress(s).shape == img.shape

@@ -27,7 +27,11 @@ from .xla_cache import ensure_cache
 
 @functools.cache
 def _build(b: int, h: int, w: int, quality: int, cap_words: int,
-           bt: int, interpret: bool, precision: str, version: str):
+           bt: int, interpret: bool, version: str):
+    """Fast-precision (f32) pipeline; ``version`` picks the kernel
+    family: "v2" = coefficient-major encode + word placement, "v1" =
+    block-major encode + sequential device BitWriter (kept for
+    comparison benchmarks; v2 dominates it)."""
     ensure_cache()
     nb = (h // 8) * (w // 8)
 
@@ -37,21 +41,9 @@ def _build(b: int, h: int, w: int, quality: int, cap_words: int,
 
         def run(images):  # (B, H, W) uint8
             blocks = transform.blockify(images).reshape(b * nb, 64)
-            if precision == transform.EXACT:
-                from .ops.pallas_exact import exact_transform_pallas_cm
-
-                zz_cm = exact_transform_pallas_cm(
-                    blocks.astype(jnp.int32).T, quality,
-                    bt=min(bt, 512), interpret=interpret,
-                )
-                packed, meta, overflow = encode_pallas2(
-                    zz_cm, quality, nb=nb, bt=bt, interpret=interpret,
-                    from_zz=True,
-                )
-            else:
-                packed, meta, overflow = encode_pallas2(
-                    blocks, quality, nb=nb, bt=bt, interpret=interpret,
-                )
+            packed, meta, overflow = encode_pallas2(
+                blocks, quality, nb=nb, bt=bt, interpret=interpret,
+            )
             stream, starts, total, cap_over = assemble_cm(
                 packed, meta, nb=nb, cap_words=cap_words, bt=bt,
                 interpret=interpret,
@@ -65,25 +57,10 @@ def _build(b: int, h: int, w: int, quality: int, cap_words: int,
 
     def run(images):  # (B, H, W) uint8
         blocks = transform.blockify(images)
-        if precision == transform.EXACT:
-            # double-float pallas transform (reference-grade rounding;
-            # exact ties resolved by correct round-half-even on device),
-            # then the entropy kernel consumes the coefficients
-            from .ops.pallas_exact import exact_transform_pallas
-
-            zz = exact_transform_pallas(
-                blocks.reshape(b * nb, 64), quality, bt=bt,
-                interpret=interpret,
-            )
-            words, bits, overflow = encode_pallas(
-                zz, quality, nb=nb, bt=bt, interpret=interpret,
-                from_zz=True,
-            )
-        else:
-            words, bits, overflow = encode_pallas(
-                blocks.reshape(b * nb, 64), quality, nb=nb, bt=bt,
-                interpret=interpret,
-            )
+        words, bits, overflow = encode_pallas(
+            blocks.reshape(b * nb, 64), quality, nb=nb, bt=bt,
+            interpret=interpret,
+        )
         stream, starts, total, status = stitch_pallas(
             words, bits, nb=nb, cap_words=cap_words, bt=bt,
             interpret=interpret,
@@ -95,22 +72,20 @@ def _build(b: int, h: int, w: int, quality: int, cap_words: int,
 
 
 @functools.cache
-def _build_exact_staged(b: int, h: int, w: int, quality: int,
-                        cap_words: int, bt: int, interpret: bool):
-    """Byte-identical exact path, staged for the tie fixup.
+def _build_exact_stage1(b: int, h: int, w: int, quality: int, bt: int,
+                        interpret: bool):
+    """Stage 1 of the byte-identical exact path (cap-independent, so a
+    capacity-overflow retry never recompiles or re-runs it).
 
-    Stage 1 runs the double-float pallas transform with per-block
-    uncertainty flags; the host recomputes flagged blocks (rare: exact
-    rational ties plus the occasional rounding sitting inside
-    double-float error, ~1 per several thousand blocks) with the float64
-    golden path and scatters them back; stage 2 entropy-codes and
-    assembles the (now float64-certified) coefficients on device.
+    Runs the double-float pallas transform with per-block uncertainty
+    flags; the host recomputes flagged blocks (rare: exact rational ties
+    plus the occasional rounding sitting inside double-float error, ~1
+    per several thousand blocks) with the float64 golden path and
+    scatters them back via ``patch``.
     """
     ensure_cache()
     nb = (h // 8) * (w // 8)
-    from .ops.pallas_encode2 import encode_pallas2
     from .ops.pallas_exact import exact_transform_pallas_cm
-    from .ops.pallas_place import assemble_cm
 
     def stage1(images):  # (B, H, W) uint8
         blocks = transform.blockify(images).reshape(b * nb, 64)
@@ -127,6 +102,20 @@ def _build_exact_staged(b: int, h: int, w: int, quality: int,
     def patch(zz_cm, idx, vals_cm):  # idx (k,), vals_cm (64, k)
         return zz_cm.at[:, idx].set(vals_cm)
 
+    return jax.jit(stage1), jax.jit(gather_blocks), jax.jit(patch)
+
+
+@functools.cache
+def _build_exact_stage2(b: int, h: int, w: int, quality: int,
+                        cap_words: int, bt: int, interpret: bool):
+    """Stage 2: entropy-code and assemble the (float64-certified)
+    coefficients on device.  Keyed on cap_words — the only stage a
+    capacity retry rebuilds."""
+    ensure_cache()
+    nb = (h // 8) * (w // 8)
+    from .ops.pallas_encode2 import encode_pallas2
+    from .ops.pallas_place import assemble_cm
+
     def stage2(zz_cm):
         packed, meta, overflow = encode_pallas2(
             zz_cm, quality, nb=nb, bt=bt, interpret=interpret,
@@ -139,8 +128,7 @@ def _build_exact_staged(b: int, h: int, w: int, quality: int,
         status = jnp.where(cap_over, 2, 0) | jnp.where(overflow, 4, 0)
         return stream, starts, total, status
 
-    return (jax.jit(stage1), jax.jit(gather_blocks), jax.jit(patch),
-            jax.jit(stage2))
+    return jax.jit(stage2)
 
 
 def _host_zz64(pixel_rows: np.ndarray, quality: int) -> np.ndarray:
@@ -157,12 +145,12 @@ def _host_zz64(pixel_rows: np.ndarray, quality: int) -> np.ndarray:
     return coeffs.reshape(-1, 64)[:, ZIGZAG_ORDER]
 
 
-def _run_exact_staged(dev_images, b, h, w, quality, cap_words, bt,
-                      interpret):
-    import jax
-
-    s1, gather, patch, s2 = _build_exact_staged(
-        b, h, w, quality, cap_words, bt, interpret
+def _exact_coeffs(dev_images, b, h, w, quality, bt, interpret):
+    """Byte-identity-certified zig-zag coefficients (64, B*nb) on
+    device: double-float pallas transform + float64 host fixup of the
+    rare uncertainty-flagged blocks (one host sync per batch)."""
+    s1, gather, patch = _build_exact_stage1(
+        b, h, w, quality, bt, interpret
     )
     zz_cm, flags, nflag = s1(dev_images)
     if int(nflag):
@@ -176,7 +164,7 @@ def _run_exact_staged(dev_images, b, h, w, quality, cap_words, bt,
         pix = np.asarray(gather(dev_images, jnp.asarray(idx_p)))
         zz64 = _host_zz64(pix, quality).astype(np.int32)
         zz_cm = patch(zz_cm, jnp.asarray(idx_p), jnp.asarray(zz64.T))
-    return jax.device_get(s2(zz_cm))
+    return zz_cm
 
 
 def compress_batch_pallas(
@@ -192,17 +180,23 @@ def compress_batch_pallas(
     """(B, H, W) uint8 same-shaped images -> list of compressed bytes.
 
     Single device.  ``staged`` may carry a pre-transferred device array to
-    keep the host link out of hot loops.  precision: "fast" (f32) or
-    "exact" (double-float transform; reference-grade rounding with exact
-    ties correctly rounded on device).  version: "v2" (coefficient-major
-    kernels, ops/pallas_encode2.py + ops/pallas_place.py) or "v1"
-    (block-major + sequential device BitWriter).
+    keep the host link out of hot loops.
+
+    precision: "fast" (f32 transform; rate/distortion-equivalent to the
+    reference but isolated rounding ties may flip) or "exact" —
+    **byte-identical to the float64 reference encoder**: double-float
+    pallas transform, then a host fixup of uncertainty-flagged blocks
+    (~1 per several thousand; costs one extra host sync per batch),
+    then device entropy/assembly.  There is exactly one exact path; it
+    always uses the v2 (coefficient-major) kernels.
+
+    version: "v2" (coefficient-major kernels, ops/pallas_encode2.py +
+    ops/pallas_place.py) or "v1" (block-major + sequential device
+    BitWriter, kept for comparison).  Applies to fast mode only.
     """
     if staged is not None:
         dev_images = staged
-        b, h, w = np.asarray(dev_images).shape if images is None else (
-            images.shape
-        )
+        b, h, w = dev_images.shape if images is None else images.shape
     else:
         images = np.ascontiguousarray(np.asarray(images), dtype=np.uint8)
         if images.shape[1] % 8 or images.shape[2] % 8:
@@ -218,18 +212,24 @@ def compress_batch_pallas(
             raise ValueError(f"total blocks {n} not tileable")
     cap_words = -(-int(b * h * w * bits_per_pixel_budget) // 32)
 
-    exact_v2 = precision == transform.EXACT and version == "v2"
+    if precision == transform.EXACT:
+        # staged path: host fixup of rounding-tie blocks makes the
+        # output byte-identical to the float64 reference encoder; the
+        # patched coefficients are reused across capacity retries
+        zz_cm = _exact_coeffs(
+            dev_images, b, h, w, int(quality), bt, interpret
+        )
 
-    def run(cap):
-        if exact_v2:
-            # staged path: host fixup of rounding-tie blocks makes the
-            # output byte-identical to the float64 reference encoder
-            return _run_exact_staged(
-                dev_images, b, h, w, int(quality), cap, bt, interpret
+        def run(cap):
+            s2 = _build_exact_stage2(
+                b, h, w, int(quality), cap, bt, interpret
             )
-        fn = _build(b, h, w, int(quality), cap, bt, interpret,
-                    precision, version)
-        return jax.device_get(fn(dev_images))
+            return jax.device_get(s2(zz_cm))
+    else:
+        def run(cap):
+            fn = _build(b, h, w, int(quality), cap, bt, interpret,
+                        version)
+            return jax.device_get(fn(dev_images))
 
     stream, starts, total, status = run(cap_words)
     if int(status) & (2 | 4):

@@ -209,9 +209,11 @@ def compress_batch(
 # ---------------------------------------------------------------------------
 
 @functools.cache
-def _build_pallas(mesh_key, quality: int, precision: str, nb: int,
+def _build_pallas(mesh_key, quality: int, nb: int,
                   b_local: int, cap_words_local: int, bt: int,
                   interpret: bool):
+    """Fast-precision sharded pipeline: blockify + encode + place per
+    shard in one program."""
     ensure_cache()
     mesh = mesh_key.mesh
     axis = mesh.axis_names[0]
@@ -223,21 +225,9 @@ def _build_pallas(mesh_key, quality: int, precision: str, nb: int,
         blocks = transform.blockify(images_local).reshape(
             b_local * nb, 64
         )
-        if precision == transform.EXACT:
-            from ..ops.pallas_exact import exact_transform_pallas_cm
-
-            zz_cm = exact_transform_pallas_cm(
-                blocks.astype(jnp.int32).T, quality,
-                bt=min(bt, 512), interpret=interpret,
-            )
-            packed, meta, over = encode_pallas2(
-                zz_cm, quality, nb=nb, bt=bt, interpret=interpret,
-                from_zz=True,
-            )
-        else:
-            packed, meta, over = encode_pallas2(
-                blocks, quality, nb=nb, bt=bt, interpret=interpret,
-            )
+        packed, meta, over = encode_pallas2(
+            blocks, quality, nb=nb, bt=bt, interpret=interpret,
+        )
         stream, starts, total, cap_over = assemble_cm(
             packed, meta, nb=nb, cap_words=cap_words_local, bt=bt,
             interpret=interpret,
@@ -261,6 +251,126 @@ def _build_pallas(mesh_key, quality: int, precision: str, nb: int,
     )
 
 
+@functools.cache
+def _build_pallas_exact_stage1(mesh_key, quality: int, nb: int,
+                               b_local: int, bt: int, interpret: bool):
+    """Sharded stage 1 of the byte-identical exact path: double-float
+    transform with per-block uncertainty flags, plus the host-fixup
+    helpers (gather flagged pixel blocks / scatter certified
+    coefficients on the sharded arrays)."""
+    ensure_cache()
+    mesh = mesh_key.mesh
+    axis = mesh.axis_names[0]
+    n_local = b_local * nb
+
+    from ..ops.pallas_exact import exact_transform_pallas_cm
+
+    def body(images_local):  # (b_local, H, W) uint8
+        blocks = transform.blockify(images_local).reshape(n_local, 64)
+        zz_cm, flags = exact_transform_pallas_cm(
+            blocks.astype(jnp.int32).T, quality, bt=min(bt, 512),
+            interpret=interpret, with_flags=True,
+        )
+        return (
+            zz_cm.reshape(1, 64, n_local),
+            flags.reshape(1, n_local),
+        )
+
+    stage1 = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=(P(axis),),
+            out_specs=(P(axis), P(axis)), check_vma=False,
+        )
+    )
+
+    def gather_blocks(images, gidx):  # global block rows (k, 64)
+        blocks = transform.blockify(images)
+        return blocks.reshape(-1, 64)[gidx]
+
+    def patch(zz_all, sidx, jidx, vals):  # vals (k, 64)
+        return zz_all.at[sidx, :, jidx].set(vals)
+
+    return stage1, jax.jit(gather_blocks), jax.jit(patch)
+
+
+@functools.cache
+def _build_pallas_exact_stage2(mesh_key, quality: int, nb: int,
+                               b_local: int, cap_words_local: int,
+                               bt: int, interpret: bool):
+    """Sharded stage 2: entropy-code + assemble the certified
+    coefficients.  The only stage a capacity retry rebuilds."""
+    ensure_cache()
+    mesh = mesh_key.mesh
+    axis = mesh.axis_names[0]
+    n_local = b_local * nb
+
+    from ..ops.pallas_encode2 import encode_pallas2
+    from ..ops.pallas_place import assemble_cm
+
+    def body(zz_local):  # (1, 64, n_local) int32
+        packed, meta, over = encode_pallas2(
+            zz_local.reshape(64, n_local), quality, nb=nb, bt=bt,
+            interpret=interpret, from_zz=True,
+        )
+        stream, starts, total, cap_over = assemble_cm(
+            packed, meta, nb=nb, cap_words=cap_words_local, bt=bt,
+            interpret=interpret,
+        )
+        status = (
+            jnp.where(cap_over, 2, 0) | jnp.where(over, 4, 0)
+        ).astype(jnp.int32)
+        status = jax.lax.pmax(status, axis)
+        return (
+            stream.reshape(1, -1), starts.reshape(1, -1),
+            total.reshape(1), status.reshape(1),
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=(P(axis),),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
+
+
+def _exact_coeffs_sharded(padded_dev, key, quality, nb, b_local, bt,
+                          interpret):
+    """Sharded byte-identity-certified coefficients (n_shards, 64,
+    n_local): stage-1 transform + float64 host fixup of flagged blocks
+    (see pallas_pipeline._exact_coeffs for the single-device analog)."""
+    from ..pallas_pipeline import _host_zz64
+
+    stage1, gather, patch = _build_pallas_exact_stage1(
+        key, quality, nb, b_local, bt, interpret
+    )
+    zz_all, flags = stage1(padded_dev)
+    flags_np = np.asarray(flags)  # (n_shards, n_local), small
+    sidx, jidx = np.nonzero(flags_np)
+    if len(sidx):
+        # pad to a power of two to bound jit recompiles; duplicates
+        # carry identical values (harmless)
+        k = 1 << max(0, int(len(sidx) - 1).bit_length())
+        pad = k - len(sidx)
+        sidx = np.concatenate([sidx, np.full(pad, sidx[0])]).astype(
+            np.int32
+        )
+        jidx = np.concatenate([jidx, np.full(pad, jidx[0])]).astype(
+            np.int32
+        )
+        n_local = b_local * nb
+        gidx = sidx.astype(np.int64) * n_local + jidx
+        pix = np.asarray(
+            gather(padded_dev, jnp.asarray(gidx.astype(np.int32)))
+        )
+        zz64 = _host_zz64(pix, quality).astype(np.int32)
+        zz_all = patch(
+            zz_all, jnp.asarray(sidx), jnp.asarray(jidx),
+            jnp.asarray(zz64),
+        )
+    return zz_all
+
+
 def compress_batch_pallas_sharded(
     images: np.ndarray | None,
     quality: int = 50,
@@ -277,8 +387,14 @@ def compress_batch_pallas_sharded(
     shard (ops/pallas_encode2.py, ops/pallas_place.py); per-shard
     streams and per-image bit offsets come back sharded, and the host
     slices image payloads out (each image's stream is byte-aligned by
-    construction).  precision="exact" uses the double-float transform
-    kernel (reference-grade rounding, ties correctly rounded).
+    construction).
+
+    precision="exact" is **byte-identical to the float64 reference
+    encoder**, same contract as the single-device path: a sharded
+    double-float transform stage emits per-block uncertainty flags, the
+    host recomputes the rare flagged blocks with the float64 golden
+    math (one extra host sync per batch), and a sharded second stage
+    entropy-codes the certified coefficients.
 
     interpret=True runs the kernels in Pallas interpret mode -- the CPU
     path used to validate the sharded program on a virtual device mesh.
@@ -310,16 +426,29 @@ def compress_batch_pallas_sharded(
     )
     key = _MeshKey(mesh)
 
-    fn = _build_pallas(key, int(quality), precision, nb, b_local,
-                       cap_local, bt_eff, interpret)
-    streams, starts, totals, status = jax.device_get(fn(padded))
+    if precision == transform.EXACT:
+        zz_all = _exact_coeffs_sharded(
+            padded, key, int(quality), nb, b_local, bt_eff, interpret
+        )
+
+        def run(cap):
+            s2 = _build_pallas_exact_stage2(
+                key, int(quality), nb, b_local, cap, bt_eff, interpret
+            )
+            return jax.device_get(s2(zz_all))
+    else:
+        def run(cap):
+            fn = _build_pallas(key, int(quality), nb, b_local, cap,
+                               bt_eff, interpret)
+            return jax.device_get(fn(padded))
+
+    streams, starts, totals, status = run(cap_local)
     if np.any(np.asarray(status) & (2 | 4)):
         if np.any(np.asarray(status) & 4):
             raise ValueError("coefficient out of Huffman table range")
-        cap_local = n_blocks_local * entropy.BLOCK_WORDS
-        fn = _build_pallas(key, int(quality), precision, nb, b_local,
-                           cap_local, bt_eff, interpret)
-        streams, starts, totals, status = jax.device_get(fn(padded))
+        streams, starts, totals, status = run(
+            n_blocks_local * entropy.BLOCK_WORDS
+        )
         if np.any(np.asarray(status) & 2):
             raise ValueError("stream capacity overflow (worst case!)")
 
