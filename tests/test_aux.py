@@ -142,3 +142,26 @@ def test_benchmark_harness_small(tmp_path):
     assert os.path.exists(csv_path)
     assert len(rows) == len(bm.QUALITIES)
     assert all(r["ratio"] > 1 for r in rows)
+
+
+def test_corpus_job_batched_matches_api(tmp_path):
+    """VERDICT item 8: the job encodes via the batch pipeline; output bytes
+    must equal the per-image exact API path, with per-image resume."""
+    from tinyimgcodec_tpu import api
+
+    imgs = {
+        f"im{i}": synthetic_image(24, 24, seed=i) for i in range(5)
+    }
+    imgs["odd"] = synthetic_image(16, 40, seed=9)  # shape change mid-run
+    out = str(tmp_path / "job")
+    job = CorpusEncodeJob(out, quality=50, backend="auto", batch_size=3)
+    seen = []
+    paths = job.run(imgs, progress=lambda i, n, name: seen.append(name))
+    assert len(seen) == 6
+    for name, img in imgs.items():
+        with open(paths[name], "rb") as f:
+            data = f.read()
+        assert data == api.compress(img, quality=50)
+    # resume: nothing pending, partial manifest resumes correctly
+    job2 = CorpusEncodeJob(out, quality=50, backend="auto", batch_size=3)
+    assert job2.pending(sorted(imgs)) == []

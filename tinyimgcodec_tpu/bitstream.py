@@ -57,6 +57,33 @@ def pack_ragged_words(words: np.ndarray, bit_lengths: np.ndarray) -> bytes:
     return np.packbits(bits[mask]).tobytes()
 
 
+def concat_bit_payload(
+    prefix: bytes, prefix_bits: int, payload: bytes, payload_bits: int
+) -> bytes:
+    """Append a byte-aligned payload at bit position ``prefix_bits``.
+
+    prefix: packed bytes whose first ``prefix_bits`` bits are valid (the
+    rest zero-padded); payload: packed bytes whose first ``payload_bits``
+    are valid.  Used to splice a device-assembled payload directly after a
+    non-byte-aligned header+table section (custom-table streams start the
+    entropy payload mid-byte, reference codec.py:150-153 semantics).
+    """
+    total_bytes = -(-(prefix_bits + payload_bits) // 8)
+    pb = -(-payload_bits // 8)
+    payload = payload[:pb]
+    k = prefix_bits & 7
+    if k == 0:
+        return (prefix[: prefix_bits // 8] + payload)[:total_bytes]
+    p = np.frombuffer(payload, np.uint8)
+    shifted = np.zeros(pb + 1, np.uint8)
+    shifted[:pb] = p >> k
+    shifted[1:] |= (p << (8 - k)).astype(np.uint8)
+    head = prefix_bits // 8
+    first = (prefix[head] if head < len(prefix) else 0) | int(shifted[0])
+    out = prefix[:head] + bytes([first]) + shifted[1:].tobytes()
+    return out[:total_bytes]
+
+
 def bits_to_bytes(bits: np.ndarray) -> bytes:
     return np.packbits(np.asarray(bits, dtype=np.uint8)).tobytes()
 

@@ -24,20 +24,25 @@ def main(argv=None) -> int:
         "--dynamic-table", action="store_true",
         help="embed a frequency-optimal Huffman table",
     )
+    p.add_argument(
+        "--precision", choices=["exact", "fast"], default="exact",
+        help="exact = byte-identical to the float64 reference",
+    )
     args = p.parse_args(argv)
 
     import numpy as np
     from PIL import Image
 
     from .. import api
+    from ..config import CodecConfig
 
-    image = np.asarray(Image.open(args.src).convert("L"))
-    data = api.compress(
-        image,
+    config = CodecConfig(
         quality=args.quality,
-        auto_generate_huffman_table=args.dynamic_table,
-        backend=args.backend,
+        precision=args.precision,
+        auto_huffman_table=args.dynamic_table,
     )
+    image = np.asarray(Image.open(args.src).convert("L"))
+    data = api.compress(image, backend=args.backend, config=config)
     with open(args.dst, "wb") as f:
         f.write(data)
     ratio = image.size / len(data)

@@ -63,6 +63,8 @@ class Engine:
         self.precision = precision
         self._encode_fn = functools.lru_cache(maxsize=32)(self._build_encode)
         self._decode_fn = functools.lru_cache(maxsize=32)(self._build_decode)
+        self._arrays_fn = functools.lru_cache(maxsize=32)(self._build_arrays)
+        self._entropy_custom_cache = None
 
     # -- jit builders ----------------------------------------------------
     def _build_encode(self, quality: int, precision: str):
@@ -191,8 +193,13 @@ class Engine:
         block_bits[patch] = new_bits
         return words, block_bits
 
-    def compress(self, image: np.ndarray, quality: int = 50) -> bytes:
+    def compress(
+        self, image: np.ndarray, quality: int = 50,
+        auto_table: bool = False,
+    ) -> bytes:
         image = np.asarray(image)
+        if auto_table:
+            return self._compress_auto_table(image, quality)
         words, block_bits = self.encode_to_words(image, quality)
         arrays = CodecArrays(
             height=image.shape[0],
@@ -207,6 +214,99 @@ class Engine:
         if native.available():
             return header + native.stitch(words, block_bits)
         return header + pack_ragged_words(words, block_bits)
+
+    # -- dynamic-table encode ---------------------------------------------
+    def _build_arrays(self, quality: int, precision: str):
+        def run(blocks):  # (nb, 8, 8) int32 -> DPCM'd coefficient arrays
+            zz, flags = transform.encode_blocks(
+                blocks, quality, precision, with_flags=True
+            )
+            dc, ac = transform.dc_dpcm(zz)
+            return dc, ac, flags
+
+        return self._jax.jit(run)
+
+    @property
+    def _entropy_custom(self):
+        if self._entropy_custom_cache is None:
+            self._entropy_custom_cache = self._build_entropy_custom()
+        return self._entropy_custom_cache
+
+    def _build_entropy_custom(self):
+        def run(dc, ac, dc_code, dc_len, ac_code, ac_len):
+            w0, w1, bits, overflow = entropy.block_symbols(
+                dc, ac, dc_code, dc_len, ac_code, ac_len
+            )
+            words, block_bits = entropy.pack_blocks(w0, w1, bits)
+            return words, block_bits, overflow
+
+        return self._jax.jit(run)
+
+    def _compress_auto_table(self, image: np.ndarray, quality: int) -> bytes:
+        """Frequency-optimal tables with device transform + device entropy.
+
+        The reference's auto_generate_huffman_table path is broken on its
+        own decoder (flag endianness, SURVEY quirk 2.5-1); ours round-trips
+        and matches the host container path byte-for-byte: identical
+        histograms (huffman.symbol_counts) feed the identical canonical
+        table builder, then entropy coding runs on device with the table
+        arrays as traced inputs (one compiled program for every table).
+        """
+        from .huffman import build_huffman_spec_from_counts, symbol_counts
+
+        padded = transform.pad_to_blocks(image)
+        blocks = np.ascontiguousarray(
+            np.asarray(transform.blockify(padded.astype(np.int32)))
+        )
+        dc_d, ac_d, flags = self._arrays_fn(int(quality), self.precision)(
+            blocks
+        )
+        dc = np.asarray(dc_d)
+        ac = np.asarray(ac_d)
+        flags = np.asarray(flags)
+        if flags.any():
+            # exact-precision fixup on the coefficients themselves: patch
+            # rounding-uncertain blocks with the float64 golden values and
+            # rebuild every DC diff from the patched absolute DCs.
+            nb = blocks.shape[0]
+            idx = np.flatnonzero(flags)
+            dc_abs = np.cumsum(dc, dtype=np.int64).astype(np.int32)
+            zz_patch = self._host_quantize_blocks(blocks[idx], quality)
+            dc_abs[idx] = zz_patch[:, 0]
+            ac = ac.copy()
+            ac[idx] = zz_patch[:, 1:]
+            dc = np.diff(dc_abs, prepend=np.int32(0)).astype(np.int32)
+        spec = build_huffman_spec_from_counts(*symbol_counts(dc, ac))
+        words, block_bits, overflow = self._entropy_custom(
+            dc, ac,
+            spec.dc_code, spec.dc_len.astype(np.uint32),
+            spec.ac_code, spec.ac_len.astype(np.uint32),
+        )
+        arrays = CodecArrays(
+            height=image.shape[0], width=image.shape[1],
+            quality=quality, dc=dc, ac=ac,
+        )
+        if bool(overflow):
+            # custom table exceeded the device layout's capacity bounds
+            # (needs >64-bit slot payloads); rare -- same-bytes host path.
+            return container.compress_arrays(arrays, True)
+        words = np.asarray(words)
+        block_bits = np.asarray(block_bits)
+        writer = BitWriter()
+        writer.write_bytes(container.make_header(arrays, custom_table=True))
+        container.write_huffman_table(writer, spec.string_tables())
+        prefix_bits = writer.bit_length()
+        from . import native
+        from .bitstream import concat_bit_payload
+
+        if native.available():
+            payload = native.stitch(words, block_bits)
+        else:
+            payload = pack_ragged_words(words, block_bits)
+        return concat_bit_payload(
+            writer.to_bytes(), prefix_bits, payload,
+            int(block_bits.sum()),
+        )
 
     def decompress(self, data: bytes) -> np.ndarray:
         arrays = container.decompress_to_arrays(data)

@@ -17,7 +17,7 @@ from collections import Counter
 import numpy as np
 
 from .constants import AC, DC
-from .golden import CodecArrays, bits_required, run_length_encode
+from .golden import CodecArrays, bits_required
 
 MAX_CODE_LENGTH = 16
 
@@ -118,19 +118,65 @@ class HuffmanSpec:
         return {DC: dc, AC: ac}
 
 
+def symbol_counts(dc: np.ndarray, ac: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized symbol histograms over all blocks.
+
+    dc: (n,) DPCM'd DC diffs; ac: (n, 63) zig-zag AC rows.  Returns
+    (dc_counts (12,), ac_counts (176,)) where ac index = run * 11 + size
+    (ZRL prefixes at 15*11, one EOB per block at 0) -- the exact symbol
+    stream :func:`golden.run_length_encode` produces per block, computed
+    without the per-block Python loop (reference huffman.py:187-194
+    counts by looping).
+    """
+    dc = np.asarray(dc).reshape(-1)
+    dc_counts = np.bincount(bits_required(dc), minlength=12)[:12]
+    ac = np.asarray(ac).reshape(-1, 63)
+    n = ac.shape[0]
+    nz = ac != 0
+    pos = np.arange(63, dtype=np.int64)
+    marked = np.where(nz, pos, np.int64(-1))
+    prev = np.maximum.accumulate(marked, axis=1)
+    prev = np.concatenate(
+        [np.full((n, 1), -1, np.int64), prev[:, :-1]], axis=1
+    )
+    run = pos - prev - 1  # zeros since previous nonzero (valid where nz)
+    size = bits_required(ac)
+    idx = ((run & 15) * 11 + size)[nz]
+    ac_counts = np.bincount(idx, minlength=176)[:176]
+    ac_counts[15 * 11] += int((run >> 4)[nz].sum())  # folded ZRL prefixes
+    ac_counts[0] += n  # unconditional EOB per block
+    return dc_counts.astype(np.int64), ac_counts.astype(np.int64)
+
+
 def build_huffman_spec(arrays: CodecArrays) -> HuffmanSpec:
     """Frequency-optimal tables for one image's coefficients.
 
     Counterpart of reference calc_huffman_table (huffman.py:101-109), but
     canonical and 16-bit-limited.
     """
-    dc_syms = [int(c) for c in bits_required(arrays.dc)]
-    ac_syms: list[tuple[int, int]] = []
-    for row in arrays.ac:
-        for run, value in run_length_encode(row):
-            ac_syms.append((run, int(bits_required(np.int32(value)))))
-    dc_lengths = _huffman_code_lengths(Counter(dc_syms))
-    ac_lengths = _huffman_code_lengths(Counter(ac_syms))
+    return build_huffman_spec_from_counts(
+        *symbol_counts(arrays.dc, arrays.ac)
+    )
+
+
+def build_huffman_spec_from_counts(
+    dc_counts: np.ndarray, ac_counts: np.ndarray
+) -> HuffmanSpec:
+    """Histograms (as from :func:`symbol_counts`) -> canonical tables.
+
+    Frequency dicts are built in fixed index order so tie-breaking (and
+    therefore the emitted table) is identical whether counts came from the
+    host path or the device pipeline.
+    """
+    dc_freqs = {cat: int(c) for cat, c in enumerate(dc_counts) if c}
+    ac_freqs = {
+        (run, size): int(ac_counts[run * 11 + size])
+        for run in range(16)
+        for size in range(11)
+        if ac_counts[run * 11 + size]
+    }
+    dc_lengths = _huffman_code_lengths(dc_freqs)
+    ac_lengths = _huffman_code_lengths(ac_freqs)
     dc_codes = _canonical_codes(dc_lengths)
     ac_codes = _canonical_codes(ac_lengths)
 

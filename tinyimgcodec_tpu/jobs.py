@@ -37,6 +37,7 @@ class CorpusEncodeJob:
         self.manifest_path = os.path.join(out_dir, "manifest.json")
         os.makedirs(out_dir, exist_ok=True)
         self._manifest = self._load_manifest()
+        self._mesh = None
 
     def _load_manifest(self) -> dict:
         if os.path.exists(self.manifest_path):
@@ -58,10 +59,36 @@ class CorpusEncodeJob:
         done = self._manifest["done"]
         return [n for n in names if n not in done]
 
+    def _encode_batch(self, batch: list[np.ndarray]) -> list[bytes] | None:
+        """Encode a same-shaped batch through the data-parallel pipeline
+        (one SPMD dispatch instead of per-image syncs); None = use the
+        per-image fallback."""
+        if self.backend == "host":
+            return None
+        try:
+            from .parallel import make_mesh
+            from .parallel.batch import compress_batch
+
+            if self._mesh is None:
+                self._mesh = make_mesh()
+            return compress_batch(
+                np.stack(batch), quality=self.quality, mesh=self._mesh
+            )
+        except Exception:
+            if self.backend == "jax":
+                raise
+            return None
+
     def run(
         self, images: dict[str, np.ndarray], progress=None
     ) -> dict[str, str]:
-        """Encode all not-yet-done images; returns name -> output path."""
+        """Encode all not-yet-done images; returns name -> output path.
+
+        Same-shaped images are encoded through the batch pipeline in
+        ``batch_size`` chunks (throughput ~= the batch benchmark's, not
+        single-image dispatch latency); checkpointing stays per-image, so
+        resume granularity is unchanged.
+        """
         from . import api
 
         names = self.pending(sorted(images))
@@ -69,18 +96,42 @@ class CorpusEncodeJob:
             n: os.path.join(self.out_dir, f"{n}.img")
             for n in sorted(images)
         }
-        for i, name in enumerate(names):
-            data = api.compress(
-                images[name], quality=self.quality, backend=self.backend
-            )
-            tmp = out_paths[name] + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, out_paths[name])
-            self._manifest["done"][name] = {
-                "bytes": len(data), "shape": list(images[name].shape)
-            }
-            self._save_manifest()
-            if progress:
-                progress(i + 1, len(names), name)
+
+        # chunk by shape so each dispatch is one static-shape SPMD program
+        chunks: list[list[str]] = []
+        cur: list[str] = []
+        for name in names:
+            if cur and (
+                images[name].shape != images[cur[-1]].shape
+                or len(cur) >= self.batch_size
+            ):
+                chunks.append(cur)
+                cur = []
+            cur.append(name)
+        if cur:
+            chunks.append(cur)
+
+        done_count = 0
+        for chunk in chunks:
+            streams = self._encode_batch([images[n] for n in chunk])
+            if streams is None:
+                streams = [
+                    api.compress(
+                        images[n], quality=self.quality,
+                        backend=self.backend,
+                    )
+                    for n in chunk
+                ]
+            for name, data in zip(chunk, streams):
+                tmp = out_paths[name] + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, out_paths[name])
+                self._manifest["done"][name] = {
+                    "bytes": len(data), "shape": list(images[name].shape)
+                }
+                self._save_manifest()
+                done_count += 1
+                if progress:
+                    progress(done_count, len(names), name)
         return out_paths

@@ -138,28 +138,56 @@ def block_symbols(
     the reference raises KeyError there, SURVEY 3.5 note).
 
     Optional table overrides (custom Huffman tables) use separate
-    code/length arrays; the default path uses merged single-gather tables.
+    code/length arrays (numpy constants or traced jax arrays, so one
+    compiled program serves every per-image table).  ZRL and EOB codes are
+    derived from the override AC table (indices 15*11 and 0), and the
+    overflow flag additionally covers the custom-table capacity limits
+    (a slot payload must fit 64 bits; codes must be <= 16 bits wide).
     """
-    if dc_code is not None or ac_code is not None:
-        dc_code_a = np.asarray(
-            C.DC_CODE if dc_code is None else dc_code, np.uint64
+    custom = dc_code is not None or ac_code is not None
+    if custom:
+        dc_code_a = jnp.asarray(
+            C.DC_CODE if dc_code is None else dc_code, jnp.uint32
         )
-        dc_len_a = np.asarray(
-            C.DC_CODELEN if dc_len is None else dc_len, np.uint64
+        dc_len_a = jnp.asarray(
+            C.DC_CODELEN if dc_len is None else dc_len, jnp.uint32
         )
-        ac_code_a = np.asarray(
-            C.AC_CODE if ac_code is None else ac_code, np.uint64
+        ac_code_a = jnp.asarray(
+            C.AC_CODE if ac_code is None else ac_code, jnp.uint32
         ).reshape(-1)
-        ac_len_a = np.asarray(
-            C.AC_CODELEN if ac_len is None else ac_len, np.uint64
+        ac_len_a = jnp.asarray(
+            C.AC_CODELEN if ac_len is None else ac_len, jnp.uint32
         ).reshape(-1)
-        dc_comb = ((dc_code_a << 8) | dc_len_a).astype(np.uint32)
-        ac_comb = ((ac_code_a << 8) | ac_len_a).astype(np.uint32)
-        _, _, zp0, zp1, zlen = _symbol_tables()
+        dc_comb = (dc_code_a << _u(8)) | dc_len_a
+        ac_comb = (ac_code_a << _u(8)) | ac_len_a
+        # ZRL payload table for z in 0..3 repeats of the *custom* ZRL code
+        zrl = ac_comb[15 * 11]
+        zc = zrl >> _u(8)
+        zl = (zrl & _u(0xFF)).astype(jnp.int32)
+        zw0 = _u(0)
+        zw1 = _u(0)
+        zln = jnp.int32(0)
+        zp0l, zp1l, zll = [_u(0)], [_u(0)], [jnp.int32(0)]
+        for _ in range(3):
+            zw0, zw1, zln = _append(zw0, zw1, zln, zc, zl)
+            zp0l.append(zw0)
+            zp1l.append(zw1)
+            zll.append(zln)
+        zp0 = jnp.stack(zp0l)
+        zp1 = jnp.stack(zp1l)
+        zlen = jnp.stack(zll)
+        eob = ac_comb[0]
+        eob_code = eob >> _u(8)
+        eob_len = (eob & _u(0xFF)).astype(jnp.int32)
     else:
         dc_comb, ac_comb, zp0, zp1, zlen = _symbol_tables()
+        eob_code = _u(C.EOB_CODE)
+        eob_len = jnp.int32(C.EOB_LEN)
     dc_comb = jnp.asarray(dc_comb)
     ac_comb = jnp.asarray(ac_comb)
+    zp0 = jnp.asarray(zp0)
+    zp1 = jnp.asarray(zp1)
+    zlen = jnp.asarray(zlen)
 
     # ---- DC slot: code+magnitude left-aligned directly ----------------
     cat = _category(dc_diff)
@@ -197,8 +225,8 @@ def block_symbols(
     s_u = _u(s)
     val = (code << s_u) | mag      # code+magnitude, <= 26 bits
     vlen = clen + s
-    plen = jnp.take(jnp.asarray(zlen), z)   # ZRL prefix bits, 0/11/22/33
-    end = plen + vlen                       # <= 59
+    plen = jnp.take(zlen, z)   # ZRL prefix bits (0/11/22/33 for Annex K)
+    end = plen + vlen          # <= 59 static; <= 64 enforced for custom
     e2 = end - 32
     # place val at bit offset plen of the two-lane payload
     left_sh = _u(jnp.clip(32 - end, 0, 31))
@@ -206,17 +234,19 @@ def block_symbols(
     w1_sh = _u(jnp.clip(32 - e2, 0, 31))
     in_w0 = jnp.where(e2 <= 0, val << left_sh, val >> right_sh)
     in_w1 = jnp.where(e2 <= 0, _u(0), val << w1_sh)
-    ac_w0 = jnp.take(jnp.asarray(zp0), z) | in_w0
-    ac_w1 = jnp.take(jnp.asarray(zp1), z) | in_w1
+    ac_w0 = jnp.take(zp0, z) | in_w0
+    ac_w1 = jnp.take(zp1, z) | in_w1
     nz_u = nz.astype(_U32)
     ac_w0 = ac_w0 * nz_u
     ac_w1 = ac_w1 * nz_u
     ac_bits = end * nz.astype(jnp.int32)
 
     # ---- EOB slot ------------------------------------------------------
-    eob_w0 = jnp.full_like(dc_w0, np.uint32(C.EOB_CODE) << np.uint32(28))
+    eob_w0 = jnp.broadcast_to(
+        eob_code << _u(jnp.clip(32 - eob_len, 0, 31)), dc_w0.shape
+    )
     eob_w1 = jnp.zeros_like(dc_w1)
-    eob_bits = jnp.full_like(dc_bits, C.EOB_LEN)
+    eob_bits = jnp.broadcast_to(eob_len, dc_bits.shape)
 
     w0_all = jnp.concatenate(
         [dc_w0[..., None], ac_w0, eob_w0[..., None]], axis=-1
@@ -227,7 +257,17 @@ def block_symbols(
     bits_all = jnp.concatenate(
         [dc_bits[..., None], ac_bits, eob_bits[..., None]], axis=-1
     )
-    return w0_all, w1_all, bits_all, dc_over | ac_over
+    overflow = dc_over | ac_over
+    if custom:
+        # custom tables can exceed the static layout's capacity bounds:
+        # a slot payload is two uint32 lanes (64 bits) and a block buffer
+        # is BLOCK_WORDS words -- flag rather than corrupt.
+        slot_over = jnp.any((end > 64) & nz)
+        blk_bits = jnp.sum(bits_all, axis=-1)
+        overflow = overflow | slot_over | jnp.any(
+            blk_bits > BLOCK_WORDS * 32
+        )
+    return w0_all, w1_all, bits_all, overflow
 
 
 def pack_blocks(w0, w1, bits):
