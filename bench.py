@@ -118,6 +118,55 @@ def bench_device(images, quality, precision, k=10, bt=1024):
     return images.size / 1e6 / dt
 
 
+def bench_decode_device(dc, ac, quality, k=10):
+    """Sustained on-device decode-transform rate (MP/s): un-DPCM +
+    dequant + IDCT + untile, inputs resident in HBM in the engine's
+    compact (int16/int8+exceptions) upload form, k data-dependent
+    iterations in one jitted fori_loop (same anti-hoisting discipline
+    as bench_device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyimgcodec_tpu.engine import Engine
+    from tinyimgcodec_tpu.ops import transform
+
+    b, nb = dc.shape
+    h = w = int((nb * 64) ** 0.5)
+    dc16, acN, exc_idx, exc_val = Engine._compact_coeffs(dc, ac)
+
+    def step(dcx, acx):
+        acx = acx.astype(jnp.int32).reshape(-1)
+        acx = acx.at[exc_idx].add(exc_val.astype(jnp.int32))
+        zz = transform.undo_dpcm(
+            dcx.astype(jnp.int32), acx.reshape(ac.shape)
+        )
+        blocks, _ = transform.decode_blocks(
+            zz, quality, "fast", with_flags=True
+        )
+        imgs = transform.unblockify(blocks, h, w)
+        return imgs[0, 0, 0].astype(jnp.uint32) + imgs[-1, -1, -1]
+
+    @jax.jit
+    def f(dcx, acx):
+        def body(i, acc):
+            eps = jnp.where(
+                acc == jnp.uint32(0xFFFFFFFF), jnp.int16(1), jnp.int16(0)
+            )
+            return acc + step(dcx + eps, acx)
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+    ddc = jax.device_put(dc16)
+    dac = jax.device_put(acN)
+    jax.device_get(f(ddc, dac))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(f(ddc, dac))
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[1] / k
+    return b * h * w / 1e6 / dt
+
+
 def bench_mode(images, quality, precision, assemble, mesh, reps,
                staged=None):
     from tinyimgcodec_tpu.parallel.batch import compress_batch
@@ -282,6 +331,30 @@ def main():
             log(f"decode/e2e: {results['decode/e2e']:.1f} MP/s")
             psnr_ok = metrics.psnr(dec[0], images[0])
             log(f"decode sanity PSNR: {psnr_ok:.2f} dB")
+
+            # serial half alone: threaded C 16-bit-peek LUT entropy decode
+            from concurrent.futures import ThreadPoolExecutor
+
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                with ThreadPoolExecutor(2) as pool:
+                    arrays = list(pool.map(
+                        container.decompress_to_arrays, streams
+                    ))
+            dt = (time.perf_counter() - t0) / reps
+            results["decode/entropy-host"] = images.size / 1e6 / dt
+            _persist_partial(results)
+            log(f"decode/entropy-host: "
+                f"{results['decode/entropy-host']:.1f} MP/s")
+
+            # transform half alone: sustained on-device rate
+            dc = np.stack([a.dc for a in arrays])
+            ac = np.stack([a.ac for a in arrays])
+            results["decode/device"] = bench_decode_device(
+                dc, ac, quality
+            )
+            _persist_partial(results)
+            log(f"decode/device: {results['decode/device']:.1f} MP/s")
     except Exception as e:  # pragma: no cover
         log(f"decode bench FAILED: {type(e).__name__}: {e}")
 

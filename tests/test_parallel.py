@@ -136,3 +136,33 @@ def test_batch_pallas_sharded_ragged_batch():
     for img, s in zip(imgs, out):
         assert s == container.compress(img, 50)
         assert container.decompress(s).shape == img.shape
+
+
+def test_compress_stream_double_buffered():
+    """Streaming ingest (parallel/stream.py): chunked double-buffered
+    feed must produce exactly the per-batch pipeline's bytes, including
+    a padded trailing partial chunk and an odd-shaped input."""
+    from tinyimgcodec_tpu.pallas_pipeline import compress_batch_pallas
+    from tinyimgcodec_tpu.parallel.stream import compress_stream
+
+    imgs = np.stack([synthetic_image(64, 64, seed=70 + i) for i in range(7)])
+    got = list(compress_stream(iter(imgs), quality=50, chunk=3,
+                               bt=64, interpret=True))
+    ref = compress_batch_pallas(imgs, 50, bt=64, interpret=True)
+    assert len(got) == 7
+    assert got == ref
+
+    # non-multiple-of-8 images are reflect-padded per image
+    odd = [synthetic_image(60, 52, seed=90 + i) for i in range(3)]
+    got_odd = list(compress_stream(odd, quality=50, chunk=2,
+                                   bt=8, interpret=True))
+    from tinyimgcodec_tpu.ops import transform as _t
+
+    padded = np.stack([_t.pad_to_blocks(im) for im in odd])
+    ref_odd = compress_batch_pallas(padded, 50, bt=8, interpret=True)
+    assert got_odd == ref_odd
+
+    # shape mismatch is rejected
+    with pytest.raises(ValueError):
+        list(compress_stream([imgs[0], synthetic_image(32, 32)],
+                             chunk=2, bt=8, interpret=True))

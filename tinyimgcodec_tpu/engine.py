@@ -26,6 +26,7 @@ truncation-boundary pixels.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -82,14 +83,54 @@ class Engine:
         return self._jax.jit(run)
 
     def _build_decode(self, quality: int, precision: str, scaled: bool):
-        def run(dc_diff, ac):
-            zz = transform.undo_dpcm(dc_diff, ac)
+        jnp = self._jax.numpy
+
+        def run(dc_diff, ac, exc_idx, exc_val):
+            # coefficients arrive narrow (int16 DC, int8/int16 AC) to cut
+            # host->device bytes 2-4x; widen + patch the rare |ac|>127
+            # outliers via scatter-add (padding rows add 0 at index 0).
+            ac = ac.astype(jnp.int32)
+            flat = ac.reshape(-1)
+            flat = flat.at[exc_idx].add(exc_val.astype(jnp.int32))
+            zz = transform.undo_dpcm(
+                dc_diff.astype(jnp.int32), flat.reshape(ac.shape)
+            )
             blocks, flags = transform.decode_blocks(
                 zz, quality, precision, scaled_dct=scaled, with_flags=True
             )
             return blocks, flags
 
         return self._jax.jit(run)
+
+    @staticmethod
+    def _compact_coeffs(dc: np.ndarray, ac: np.ndarray):
+        """int32 coeff arrays -> narrow upload form.
+
+        Any decodable stream bounds |DC diff| by its table's max category
+        (standard table: 2047) and |AC| likewise (standard: 1023), so
+        int16 always holds both.  AC additionally ships as int8 plus a
+        sparse exception list (value deltas, scatter-added on device)
+        when outliers are rare -- 4x less tunnel/PCIe traffic on typical
+        content.  Exception capacity is bucketed to powers of two so jit
+        signatures stay bounded.
+        """
+        dc16 = np.ascontiguousarray(dc, dtype=np.int16)
+        ac8 = ac.astype(np.int8)
+        delta = (ac - ac8.astype(np.int32)).reshape(-1)
+        idx = np.flatnonzero(delta)
+        if idx.size > ac.size // 8:  # outlier-dense: plain int16 wins
+            return (
+                dc16, np.ascontiguousarray(ac, dtype=np.int16),
+                np.zeros(0, np.int32), np.zeros(0, np.int16),
+            )
+        cap = 128
+        while cap < idx.size:
+            cap <<= 1
+        exc_idx = np.zeros(cap, np.int32)
+        exc_val = np.zeros(cap, np.int16)
+        exc_idx[: idx.size] = idx
+        exc_val[: idx.size] = delta[idx]
+        return dc16, ac8, exc_idx, exc_val
 
     # -- fixup helpers ---------------------------------------------------
     @staticmethod
@@ -314,8 +355,18 @@ class Engine:
 
     def decompress_batch(self, streams: list[bytes]) -> np.ndarray:
         """Decode same-shaped streams: C entropy decode per stream (the
-        serial part), ONE batched device transform for all of them."""
-        arrays = [container.decompress_to_arrays(d) for d in streams]
+        serial part; streams decoded concurrently -- the ctypes call
+        releases the GIL), ONE batched device transform for all of them."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(streams) > 1:
+            workers = min(len(streams), os.cpu_count() or 1)
+            with ThreadPoolExecutor(workers) as pool:
+                arrays = list(
+                    pool.map(container.decompress_to_arrays, streams)
+                )
+        else:
+            arrays = [container.decompress_to_arrays(d) for d in streams]
         a0 = arrays[0]
         for a in arrays[1:]:
             if (a.height, a.width, a.quality, a.scaled_dct) != (
@@ -327,7 +378,7 @@ class Engine:
         fn = self._decode_fn(
             int(a0.quality), self.precision, bool(a0.scaled_dct)
         )
-        blocks, flags = fn(dc, ac)
+        blocks, flags = fn(*self._compact_coeffs(dc, ac))
         blocks = np.array(blocks)
         flags = np.asarray(flags)
         if flags.any():
@@ -351,7 +402,7 @@ class Engine:
         fn = self._decode_fn(
             int(arrays.quality), self.precision, bool(arrays.scaled_dct)
         )
-        blocks, flags = fn(arrays.dc, arrays.ac)
+        blocks, flags = fn(*self._compact_coeffs(arrays.dc, arrays.ac))
         blocks = np.array(blocks)  # writable copy (fixup patches in place)
         if bool(flags.any()):
             idx = np.flatnonzero(np.asarray(flags))

@@ -48,6 +48,11 @@ GROUP = 8          # blocks per placement group
 SPAN1 = 15         # word span handled by the always-on chain
 SPAN2 = 47         # span handled by the conditional extension
 
+# v3 (log masked-roll placement)
+GROUP3 = 16        # blocks per group
+SPAN3 = 63         # max in-group word delta the log roll handles
+W3 = 2 * OUT_COLS  # 256-lane window: delta 63 + row 56 + phase 127 < 256
+
 
 def _make_kernel(bt: int, cap_rows: int):
     ng = bt // GROUP
@@ -193,6 +198,129 @@ def _build(bt: int, n: int, cap_rows: int, interpret: bool):
     return call
 
 
+def _make_kernel_v3(bt: int, cap_rows: int):
+    """Log masked-roll placement (v3).
+
+    The v2 chain walks every possible word delta (16 always + 32
+    conditional roll/compare/select steps over the whole tile).  v3
+    rolls each block row to its own in-group delta in exactly 6 steps
+    -- one masked roll per bit of the delta (deltas <= SPAN3) -- then
+    collapses 16-block groups with a 4-step segmented OR, leaving half
+    as many serial RMW iterations as v2.  ~6x less VMEM traffic in the
+    vector phase; groups whose span exceeds SPAN3 (rare: 16 dense
+    high-bit blocks) fall back to per-block placement.
+    """
+    ng = bt // GROUP3
+
+    def kernel(rows_ref, w_ref, drel_ref, out_ref, acc_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        rows = jnp.concatenate(
+            [rows_ref[...], jnp.zeros((bt, W3 - ROW_WORDS), jnp.uint32)],
+            axis=1,
+        )  # (bt, 256)
+        dmat = jnp.broadcast_to(drel_ref[...].T, (bt, W3))
+
+        r = rows
+        for k in (1, 2, 4, 8, 16, 32):  # per-row roll by delta's bits
+            rolled = pltpu.roll(r, k, 1)
+            r = jnp.where((dmat & k) != 0, rolled, r)
+
+        # segmented OR over each group's 16 sublanes into sublane 16g
+        sub = jax.lax.broadcasted_iota(jnp.int32, (bt, W3), 0)
+        for d in (8, 4, 2, 1):
+            shifted = pltpu.roll(r, bt - d, 0)  # row i+d -> i
+            r = r | jnp.where(
+                (sub & (GROUP3 - 1)) + d < GROUP3, shifted, jnp.uint32(0)
+            )
+        acc_ref[...] = r
+
+        def rmw(q, placed):
+            """OR a (1, 256) window into output rows q, q+1 (clamped)."""
+            q0 = jnp.minimum(q, cap_rows - 2)
+            cur = out_ref[pl.ds(q0, 2), :]
+            h = jnp.concatenate(
+                [placed[:, :OUT_COLS], placed[:, OUT_COLS:]], axis=0
+            )
+            out_ref[pl.ds(q0, 2), :] = cur | h
+
+        def place_row(row256, w):
+            q = w >> 7
+            dq = w & 127
+            rmw(q, pltpu.roll(row256, dq, 1))
+
+        def group_body(g, carry):
+            # group span = last block's word delta (w is in SMEM: two
+            # scalar reads beat a lane-padded span input, which Mosaic
+            # would reject at (1, bt/16) block shape anyway)
+            base = w_ref[0, g * GROUP3]
+            span = w_ref[0, g * GROUP3 + GROUP3 - 1] - base
+
+            @pl.when(span <= SPAN3)
+            def _():
+                place_row(acc_ref[pl.ds(g * GROUP3, 1), :], base)
+
+            @pl.when(span > SPAN3)
+            def _():
+                def blk(s, c):
+                    w = w_ref[0, g * GROUP3 + s]
+                    row = jnp.concatenate(
+                        [rows_ref[pl.ds(g * GROUP3 + s, 1), :],
+                         jnp.zeros((1, W3 - ROW_WORDS), jnp.uint32)],
+                        axis=1,
+                    )
+                    place_row(row, w)
+                    return c
+
+                jax.lax.fori_loop(0, GROUP3, blk, 0)
+
+            return carry
+
+        jax.lax.fori_loop(0, ng, group_body, 0)
+
+    return kernel
+
+
+@functools.cache
+def _build_v3(bt: int, n: int, cap_rows: int, interpret: bool):
+    ntiles = n // bt
+    kernel = _make_kernel_v3(bt, cap_rows)
+    grid_spec = pl.GridSpec(
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((bt, ROW_WORDS), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda t: (0, t),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bt), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cap_rows, OUT_COLS), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bt, W3), jnp.uint32)],
+    )
+    params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+    def call(packed, w, drel):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((cap_rows, OUT_COLS),
+                                           jnp.uint32),
+            compiler_params=params,
+            interpret=interpret,
+        )(packed, w.reshape(1, n), drel.reshape(1, n))
+
+    return call
+
+
 def assemble_cm(
     packed: jnp.ndarray,
     meta: jnp.ndarray,
@@ -207,6 +335,9 @@ def assemble_cm(
     rows; meta row 0 = global bit offsets, row 1 = bit counts).  nb:
     blocks per image.  Returns (stream_words (cap,), image_start_bits
     (n_images,), total_bits, overflow_bool).
+
+    Uses the v3 log masked-roll kernel when the tile admits 16-block
+    groups; tiny tiles (tests) fall back to the v2 delta chain.
     """
     n = packed.shape[0]
     if n % bt:
@@ -218,13 +349,18 @@ def assemble_cm(
     starts = off[::nb]
 
     w = off >> 5
-    wg = w.reshape(-1, GROUP)
-    drelg = wg - wg[:, 0:1]
-    span = drelg[:, GROUP - 1]
-    drel = drelg.reshape(n)
-    maxspan = span.reshape(n // bt, bt // GROUP).max(axis=1)
-
-    call = _build(int(bt), n, int(cap_rows), interpret)
-    out = call(packed, w, span, drel, maxspan)
+    if bt % GROUP3 == 0:
+        wg = w.reshape(-1, GROUP3)
+        drel = (wg - wg[:, 0:1]).reshape(n)
+        call = _build_v3(int(bt), n, int(cap_rows), interpret)
+        out = call(packed, w, drel)
+    else:
+        wg = w.reshape(-1, GROUP)
+        drelg = wg - wg[:, 0:1]
+        span = drelg[:, GROUP - 1]
+        drel = drelg.reshape(n)
+        maxspan = span.reshape(n // bt, bt // GROUP).max(axis=1)
+        call = _build(int(bt), n, int(cap_rows), interpret)
+        out = call(packed, w, span, drel, maxspan)
     overflow = (total_bits >> 5) >= cap_words
     return out.reshape(-1), starts, total_bits, overflow

@@ -1,0 +1,87 @@
+"""Streaming ingest: double-buffered host->HBM encode feed.
+
+The reference's C encoder streams 8-pixel-row bands through a FIFO so
+output appears while input is still being read (c/encode.c:47-59).  The
+TPU-native analog works at chunk-of-images granularity: while the device
+encodes chunk i, chunk i+1 is already transferring host->HBM, so the
+link and the chip stay busy at the same time.  JAX dispatch is async --
+``jax.device_put`` returns immediately and the blocking pull of chunk
+i's compressed bytes is exactly the window chunk i+1's transfer hides
+behind.
+
+All chunks share one shape (the tail is padded with repeats and
+trimmed), so a single compiled program serves the whole stream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from ..ops import transform
+
+
+def _chunked(images: Iterable[np.ndarray], n: int):
+    buf: list[np.ndarray] = []
+    for im in images:
+        im = np.ascontiguousarray(np.asarray(im), dtype=np.uint8)
+        if im.shape[0] % 8 or im.shape[1] % 8:
+            im = transform.pad_to_blocks(im)
+        buf.append(im)
+        if len(buf) == n:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def compress_stream(
+    images: Iterable[np.ndarray],
+    quality: int = 50,
+    chunk: int = 8,
+    precision: str = transform.FAST,
+    bt: int = 1024,
+    interpret: bool = False,
+) -> Iterator[bytes]:
+    """Encode an image stream, yielding compressed bytes per image.
+
+    Keeps two chunks in flight (double buffering): the host->HBM
+    transfer of the next chunk overlaps the device encode + result pull
+    of the current one.  Images must share one (H, W); the trailing
+    partial chunk is padded with repeats of its last image so every
+    dispatch reuses the same compiled program, and the pads are never
+    yielded.
+    """
+    import jax
+
+    from ..pallas_pipeline import compress_batch_pallas
+
+    def encode(staged, count: int) -> list[bytes]:
+        out = compress_batch_pallas(
+            None, quality=quality, staged=staged, precision=precision,
+            bt=bt, interpret=interpret,
+        )
+        return out[:count]
+
+    prev: tuple[object, int] | None = None
+    shape: tuple[int, int] | None = None
+    for batch in _chunked(images, chunk):
+        if shape is None:
+            shape = batch[0].shape
+        for im in batch:
+            if im.shape != shape:
+                raise ValueError(
+                    f"stream images must share one shape: {im.shape} "
+                    f"vs {shape}"
+                )
+        count = len(batch)
+        if count < chunk:
+            batch = batch + [batch[-1]] * (chunk - count)
+        staged = jax.device_put(np.stack(batch))  # async transfer
+        if prev is not None:
+            # device encodes the previous chunk while this transfer runs
+            yield from encode(*prev)
+        prev = (staged, count)
+    if prev is not None:
+        yield from encode(*prev)
