@@ -1,5 +1,7 @@
 """Native C extension tests: stitch + entropy encode/decode vs host golden."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -68,3 +70,56 @@ def test_entropy_decode_garbage_no_crash():
     junk = rng.bytes(512)
     dc, ac = native.entropy_decode(junk, 100)
     assert dc.shape == (100,) and ac.shape == (100, 63)
+
+
+def test_native_sanitizer_selftest(tmp_path):
+    """Build native/selftest.c with ASan+UBSan and run it (SURVEY 5:
+    host native code gets sanitizers; device XLA programs need none).
+
+    The C harness round-trips the entropy coder, checks the stitcher
+    against a naive bit appender, feeds corrupt/truncated payloads, and
+    probes capacity edges -- any out-of-bounds access or UB aborts the
+    subprocess via the sanitizer runtime.
+    """
+    import subprocess
+    import sys as _sys
+
+    from tinyimgcodec_tpu.constants import (
+        AC_CODE, AC_CODELEN, DC_CODE, DC_CODELEN,
+    )
+    from tinyimgcodec_tpu.native import _DIR, _default_luts
+
+    src_dir = _DIR
+    exe = tmp_path / "selftest"
+    cc = os.environ.get("CC", "cc")
+    build = subprocess.run(
+        [cc, "-O1", "-g", "-fsanitize=address,undefined",
+         "-fno-sanitize-recover=all",
+         os.path.join(src_dir, "selftest.c"),
+         os.path.join(src_dir, "codec_native.c"),
+         os.path.join(src_dir, "embedded.c"),
+         "-o", str(exe)],
+        capture_output=True,
+    )
+    if build.returncode != 0:
+        pytest.skip(f"sanitizer build unavailable: {build.stderr[:200]}")
+
+    (dc_lut, ac_lut) = _default_luts()
+    blob = b"".join([
+        np.ascontiguousarray(DC_CODE, np.uint32).tobytes(),
+        np.ascontiguousarray(DC_CODELEN, np.uint8).tobytes(),
+        np.ascontiguousarray(AC_CODE.reshape(-1), np.uint32).tobytes(),
+        np.ascontiguousarray(AC_CODELEN.reshape(-1), np.uint8).tobytes(),
+        dc_lut[0].tobytes(), dc_lut[1].tobytes(),
+        ac_lut[0].tobytes(), ac_lut[1].tobytes(),
+    ])
+    tables = tmp_path / "tables.bin"
+    tables.write_bytes(blob)
+    run = subprocess.run(
+        [str(exe), str(tables)], capture_output=True, timeout=120
+    )
+    assert run.returncode == 0, (
+        run.stdout.decode(errors="replace")
+        + run.stderr.decode(errors="replace")
+    )
+    assert b"selftest OK" in run.stdout
