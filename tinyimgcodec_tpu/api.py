@@ -66,6 +66,7 @@ def compress(
     auto_generate_huffman_table: bool = False,
     backend: str = "auto",
     precision: str = "exact",
+    block_index: bool = False,
     config: CodecConfig | None = None,
 ) -> bytes:
     """Grayscale image (H, W) -> compressed bytes.
@@ -73,6 +74,8 @@ def compress(
     backend: "auto" (TPU/JAX when available), "jax", or "host".
     precision: "exact" (byte-identical to the float64 reference) or
     "fast" (f32 transform; rare rounding ties may differ).
+    block_index: append the TICX block-offset trailer so decoders can
+    entropy-decode chunks in parallel (reference decoders ignore it).
     config: a validated CodecConfig; overrides the loose kwargs.
     """
     if config is None:
@@ -80,6 +83,7 @@ def compress(
             quality=quality,
             precision=precision,
             auto_huffman_table=auto_generate_huffman_table,
+            block_index=block_index,
         )
     if backend not in ("auto", "jax", "host"):
         raise ValueError(f"unknown backend {backend!r}")
@@ -92,11 +96,13 @@ def compress(
             return engine.compress(
                 image, config.quality,
                 auto_table=config.auto_huffman_table,
+                block_index=config.block_index,
             )
         if backend == "jax":
             raise _engine_unavailable_error()
     return container.compress(
-        image, config.quality, config.auto_huffman_table
+        image, config.quality, config.auto_huffman_table,
+        block_index=config.block_index,
     )
 
 

@@ -18,6 +18,7 @@ class CodecConfig:
     quality: int = 50           # 1..99 (reference scale mapping)
     precision: str = "exact"    # "exact" (reference-bit-identical) | "fast"
     auto_huffman_table: bool = False  # embed frequency-optimal tables
+    block_index: bool = False   # append the TICX parallel-decode trailer
     assemble: str = "host"      # "host" (byte-conformant) | "device"
     bits_per_pixel_budget: float = 6.0  # device-assembly buffer sizing
     mesh_devices: int | None = None     # None = all local devices

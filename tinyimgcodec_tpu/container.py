@@ -41,6 +41,67 @@ from .huffman import HuffmanSpec, build_huffman_spec
 
 _DEFAULT_TABLES = string_code_tables()
 
+# -- block-offset index extension (TICX) --------------------------------
+#
+# An optional trailer appended AFTER the payload: bit offsets of every
+# INDEX_STRIDE-th block, enabling index-parallel entropy decode (the
+# payload's variable-length codes otherwise force a serial bit cursor,
+# SURVEY 3.2).  Reference decoders provably ignore trailing bytes (the
+# per-block loop reads exactly nblocks blocks, codec.py:175-186; quirk
+# 2.5-3/10), so indexed streams remain reference-decodable.
+#
+# Layout (little-endian), followed by [u32 body_len]["TICX"]:
+#   u8 version(=1) | u8 log2(stride) | u16 0 | u32 n | u32 offsets[n]
+INDEX_MAGIC = b"TICX"
+INDEX_STRIDE = 64  # blocks per independently decodable chunk
+
+
+def make_block_index(
+    offsets: np.ndarray, stride: int = INDEX_STRIDE
+) -> bytes:
+    """Per-block payload bit offsets (nb,) -> TICX trailer bytes."""
+    if stride & (stride - 1):
+        raise ValueError("stride must be a power of two")
+    sel = np.ascontiguousarray(offsets[::stride], dtype="<u4")
+    body = (
+        struct.pack("<BBHI", 1, stride.bit_length() - 1, 0, len(sel))
+        + sel.tobytes()
+    )
+    return body + struct.pack("<I", len(body)) + INDEX_MAGIC
+
+
+def parse_block_index(data: bytes, nblocks: int):
+    """Detect + validate a TICX trailer.
+
+    Returns (chunk_bit_offsets, stride, payload_end_byte) or None.  The
+    structural checks (exact length bookkeeping, monotone in-range
+    offsets, matching chunk count) make an accidental payload collision
+    with the magic effectively impossible; any inconsistency degrades to
+    index-less serial decode.
+    """
+    if len(data) < HEADER_BYTES + 16 or data[-4:] != INDEX_MAGIC:
+        return None
+    (body_len,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - body_len
+    if start < HEADER_BYTES or body_len < 8:
+        return None
+    version, lg_stride, reserved, n = struct.unpack_from("<BBHI", data, start)
+    if version != 1 or reserved != 0 or body_len != 8 + 4 * n:
+        return None
+    stride = 1 << lg_stride
+    if n != -(-nblocks // stride):
+        return None
+    off = np.frombuffer(data, dtype="<u4", count=n, offset=start + 8)
+    off = off.astype(np.int64)
+    payload_bits = (start - HEADER_BYTES) * 8
+    if n == 0 or off[0] != 0:
+        return None
+    if n > 1 and np.any(np.diff(off) <= 0):
+        return None
+    if off[-1] >= payload_bits:
+        return None
+    return off, stride, start
+
 
 def make_header(arrays: CodecArrays, custom_table: bool = False) -> bytes:
     flag = 0
@@ -98,12 +159,18 @@ def read_huffman_table(reader: BitReader) -> dict[str, dict]:
 
 
 def _encode_payload(
-    arrays: CodecArrays, tables: dict[str, dict], writer: BitWriter
+    arrays: CodecArrays,
+    tables: dict[str, dict],
+    writer: BitWriter,
+    offsets_out: list[int] | None = None,
 ) -> None:
     dc_tab, ac_tab = tables[DC], tables[AC]
     dc = arrays.dc
     ac = arrays.ac
+    base = writer.bit_length()
     for i in range(arrays.nblocks):
+        if offsets_out is not None:
+            offsets_out.append(writer.bit_length() - base)
         d = int(dc[i])
         cat = int(bits_required(np.int32(d)))
         writer.write_bitstring(dc_tab[cat])
@@ -118,27 +185,35 @@ def compress(
     image: np.ndarray,
     quality: int = 50,
     auto_generate_huffman_table: bool = False,
+    block_index: bool = False,
 ) -> bytes:
-    """Image -> bytes (host/golden path; reference codec.py:133-164)."""
+    """Image -> bytes (host/golden path; reference codec.py:133-164).
+
+    block_index=True appends the TICX trailer for parallel decode.
+    """
     arrays = golden.encode_arrays(np.asarray(image), quality)
-    return compress_arrays(arrays, auto_generate_huffman_table)
+    return compress_arrays(arrays, auto_generate_huffman_table, block_index)
 
 
 def compress_arrays(
-    arrays: CodecArrays, auto_generate_huffman_table: bool = False
+    arrays: CodecArrays,
+    auto_generate_huffman_table: bool = False,
+    block_index: bool = False,
 ) -> bytes:
     writer = BitWriter()
     if auto_generate_huffman_table:
-        spec = build_huffman_spec(arrays)
-        tables = spec.string_tables()
-        header = make_header(arrays, custom_table=True)
-        writer.write_bytes(header)
+        tables = build_huffman_spec(arrays).string_tables()
+        writer.write_bytes(make_header(arrays, custom_table=True))
         write_huffman_table(writer, tables)
-    else:
-        tables = _DEFAULT_TABLES
-        writer.write_bytes(make_header(arrays))
-    _encode_payload(arrays, tables, writer)
-    return writer.to_bytes()
+        _encode_payload(arrays, tables, writer)
+        return writer.to_bytes()  # index is a standard-table-only feature
+    writer.write_bytes(make_header(arrays))
+    offsets: list[int] | None = [] if block_index else None
+    _encode_payload(arrays, _DEFAULT_TABLES, writer, offsets)
+    data = writer.to_bytes()
+    if offsets is not None:
+        data += make_block_index(np.asarray(offsets, dtype=np.int64))
+    return data
 
 
 def _invert(table: dict) -> dict[str, object]:
@@ -196,7 +271,17 @@ def decompress_to_arrays(data: bytes, use_native: bool = True) -> CodecArrays:
                     payload, nblocks, dc_lut, ac_lut
                 )
             else:
-                dc, ac = native.entropy_decode(data[HEADER_BYTES:], nblocks)
+                idx = parse_block_index(data, nblocks)
+                if idx is not None and nblocks > idx[1]:
+                    chunk_off, stride, pay_end = idx
+                    dc, ac = native.entropy_decode_indexed(
+                        data[HEADER_BYTES:pay_end], nblocks,
+                        chunk_off, stride,
+                    )
+                else:
+                    dc, ac = native.entropy_decode(
+                        data[HEADER_BYTES:], nblocks
+                    )
             return CodecArrays(
                 height=height, width=width, quality=quality,
                 dc=dc, ac=ac, scaled_dct=scaled_dct,

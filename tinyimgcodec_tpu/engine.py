@@ -236,7 +236,7 @@ class Engine:
 
     def compress(
         self, image: np.ndarray, quality: int = 50,
-        auto_table: bool = False,
+        auto_table: bool = False, block_index: bool = False,
     ) -> bytes:
         image = np.asarray(image)
         if auto_table:
@@ -253,8 +253,15 @@ class Engine:
         from . import native
 
         if native.available():
-            return header + native.stitch(words, block_bits)
-        return header + pack_ragged_words(words, block_bits)
+            data = header + native.stitch(words, block_bits)
+        else:
+            data = header + pack_ragged_words(words, block_bits)
+        if block_index:
+            # per-block payload offsets are the exclusive bit cumsum --
+            # free from the device's block_bits output
+            offsets = np.cumsum(block_bits, dtype=np.int64) - block_bits
+            data += container.make_block_index(offsets)
+        return data
 
     # -- dynamic-table encode ---------------------------------------------
     def _build_arrays(self, quality: int, precision: str):

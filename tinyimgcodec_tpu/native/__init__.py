@@ -81,6 +81,10 @@ def lib() -> ctypes.CDLL | None:
     l.tic_entropy_decode.restype = ctypes.c_long
     l.tic_entropy_decode.argtypes = [u8, ctypes.c_long, ctypes.c_long,
                                      u8, u8, u8, u8, i32, i32]
+    l.tic_entropy_decode_at.restype = ctypes.c_long
+    l.tic_entropy_decode_at.argtypes = [u8, ctypes.c_long, ctypes.c_long,
+                                        ctypes.c_long, u8, u8, u8, u8,
+                                        i32, i32]
     l.tic_entropy_encode.restype = ctypes.c_long
     l.tic_entropy_encode.argtypes = [i32, i32, ctypes.c_long, u32, u8,
                                      u32, u8, u8, ctypes.c_long]
@@ -165,6 +169,57 @@ def entropy_decode(
         _ptr(ac_lut[0], ctypes.c_uint8), _ptr(ac_lut[1], ctypes.c_uint8),
         _ptr(dc, ctypes.c_int32), _ptr(ac, ctypes.c_int32),
     )
+    return dc, ac
+
+
+def entropy_decode_indexed(
+    payload: bytes,
+    nblocks: int,
+    chunk_offsets: np.ndarray,
+    stride: int,
+    dc_lut=None,
+    ac_lut=None,
+    max_workers: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Index-parallel entropy decode (container.py TICX extension).
+
+    chunk_offsets[i] is the payload bit offset of block i*stride; chunks
+    are disjoint, each thread decodes its own block range into disjoint
+    slices of the shared output (the ctypes call releases the GIL, so
+    this scales with cores -- the variable-length stream's serial
+    bit-cursor walk, SURVEY 3.2, is broken at every indexed block).
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    l = lib()
+    if dc_lut is None or ac_lut is None:
+        dc_lut, ac_lut = _default_luts()
+    data = np.frombuffer(payload, dtype=np.uint8)
+    nbits = len(payload) * 8
+    dc = np.zeros(nblocks, dtype=np.int32)
+    ac = np.zeros((nblocks, 63), dtype=np.int32)
+    nchunks = len(chunk_offsets)
+
+    def run(ci: int) -> None:
+        b0 = ci * stride
+        nb = min(stride, nblocks - b0)
+        if nb <= 0:
+            return
+        l.tic_entropy_decode_at(
+            _ptr(data, ctypes.c_uint8), nbits, int(chunk_offsets[ci]), nb,
+            _ptr(dc_lut[0], ctypes.c_uint8), _ptr(dc_lut[1], ctypes.c_uint8),
+            _ptr(ac_lut[0], ctypes.c_uint8), _ptr(ac_lut[1], ctypes.c_uint8),
+            _ptr(dc[b0:], ctypes.c_int32), _ptr(ac[b0:], ctypes.c_int32),
+        )
+
+    workers = min(nchunks, max_workers or os.cpu_count() or 1)
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as pool:
+            list(pool.map(run, range(nchunks)))
+    else:
+        for ci in range(nchunks):
+            run(ci)
     return dc, ac
 
 

@@ -98,18 +98,20 @@ static inline int32_t br_read_signed(BitReader *br, int size) {
     return -(int32_t)((~raw) & ((1u << size) - 1));
 }
 
-/* Decode nblocks blocks.  LUTs: 65536 entries indexed by the next 16
- * bits; *_len gives the code length (0 = invalid), *_sym the decoded
- * symbol (DC: category; AC: run<<4|size).  Returns the number of fully
- * decoded blocks (partial/corrupt blocks are left zero, matching the
- * reference's per-block try/except semantics, codec.py:178-186). */
-EXPORT long tic_entropy_decode(const uint8_t *data, long nbits, long nblocks,
-                               const uint8_t *dc_lut_len,
-                               const uint8_t *dc_lut_sym,
-                               const uint8_t *ac_lut_len,
-                               const uint8_t *ac_lut_sym, int32_t *dc,
-                               int32_t *ac) {
-    BitReader br = {data, nbits, (nbits + 7) / 8, 0};
+/* Decode nblocks blocks starting at bit `start`.  LUTs: 65536 entries
+ * indexed by the next 16 bits; *_len gives the code length (0 =
+ * invalid), *_sym the decoded symbol (DC: category; AC: run<<4|size).
+ * Returns the number of fully decoded blocks (partial/corrupt blocks
+ * are left zero, matching the reference's per-block try/except
+ * semantics, codec.py:178-186). */
+static long entropy_decode_from(const uint8_t *data, long nbits, long start,
+                                long nblocks,
+                                const uint8_t *dc_lut_len,
+                                const uint8_t *dc_lut_sym,
+                                const uint8_t *ac_lut_len,
+                                const uint8_t *ac_lut_sym, int32_t *dc,
+                                int32_t *ac) {
+    BitReader br = {data, nbits, (nbits + 7) / 8, start};
     long ok = 0;
     for (long i = 0; i < nblocks; i++) {
         long start = br.pos;
@@ -162,6 +164,35 @@ EXPORT long tic_entropy_decode(const uint8_t *data, long nbits, long nblocks,
         }
     }
     return ok;
+}
+
+EXPORT long tic_entropy_decode(const uint8_t *data, long nbits, long nblocks,
+                               const uint8_t *dc_lut_len,
+                               const uint8_t *dc_lut_sym,
+                               const uint8_t *ac_lut_len,
+                               const uint8_t *ac_lut_sym, int32_t *dc,
+                               int32_t *ac) {
+    return entropy_decode_from(data, nbits, 0, nblocks, dc_lut_len,
+                               dc_lut_sym, ac_lut_len, ac_lut_sym, dc, ac);
+}
+
+/* Chunked entry point for index-parallel decode: start at an arbitrary
+ * bit offset (from a block-offset index; see container.py's trailing
+ * TICX extension).  Caller decodes disjoint chunks concurrently. */
+EXPORT long tic_entropy_decode_at(const uint8_t *data, long nbits,
+                                  long start_bit, long nblocks,
+                                  const uint8_t *dc_lut_len,
+                                  const uint8_t *dc_lut_sym,
+                                  const uint8_t *ac_lut_len,
+                                  const uint8_t *ac_lut_sym, int32_t *dc,
+                                  int32_t *ac) {
+    if (start_bit < 0 || start_bit > nbits) {
+        memset(dc, 0, (size_t)nblocks * sizeof(int32_t));
+        memset(ac, 0, (size_t)nblocks * 63 * sizeof(int32_t));
+        return 0;
+    }
+    return entropy_decode_from(data, nbits, start_bit, nblocks, dc_lut_len,
+                               dc_lut_sym, ac_lut_len, ac_lut_sym, dc, ac);
 }
 
 /* ------------------------------------------------------------------ */

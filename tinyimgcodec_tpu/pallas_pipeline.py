@@ -27,11 +27,13 @@ from .xla_cache import ensure_cache
 
 @functools.cache
 def _build(b: int, h: int, w: int, quality: int, cap_words: int,
-           bt: int, interpret: bool, version: str):
+           bt: int, interpret: bool, version: str,
+           with_meta: bool = False):
     """Fast-precision (f32) pipeline; ``version`` picks the kernel
     family: "v2" = coefficient-major encode + word placement, "v1" =
     block-major encode + sequential device BitWriter (kept for
-    comparison benchmarks; v2 dominates it)."""
+    comparison benchmarks; v2 dominates it).  with_meta additionally
+    returns the per-block global bit offsets (for the TICX index)."""
     ensure_cache()
     nb = (h // 8) * (w // 8)
 
@@ -51,6 +53,8 @@ def _build(b: int, h: int, w: int, quality: int, cap_words: int,
             status = (
                 jnp.where(cap_over, 2, 0) | jnp.where(overflow, 4, 0)
             )
+            if with_meta:
+                return stream, starts, total, status, meta[0]
             return stream, starts, total, status
 
         return jax.jit(run)
@@ -176,6 +180,7 @@ def compress_batch_pallas(
     staged=None,
     precision: str = transform.FAST,
     version: str = "v2",
+    block_index: bool = False,
 ) -> list[bytes]:
     """(B, H, W) uint8 same-shaped images -> list of compressed bytes.
 
@@ -212,6 +217,9 @@ def compress_batch_pallas(
             raise ValueError(f"total blocks {n} not tileable")
     cap_words = -(-int(b * h * w * bits_per_pixel_budget) // 32)
 
+    if block_index and (precision == transform.EXACT or version != "v2"):
+        raise ValueError("block_index requires fast precision + v2")
+
     if precision == transform.EXACT:
         # staged path: host fixup of rounding-tie blocks makes the
         # output byte-identical to the float64 reference encoder; the
@@ -228,15 +236,17 @@ def compress_batch_pallas(
     else:
         def run(cap):
             fn = _build(b, h, w, int(quality), cap, bt, interpret,
-                        version)
+                        version, with_meta=block_index)
             return jax.device_get(fn(dev_images))
 
-    stream, starts, total, status = run(cap_words)
+    res = run(cap_words)
+    stream, starts, total, status = res[:4]
     if int(status) & (2 | 4):
         if int(status) & 4:
             raise ValueError("coefficient out of Huffman table range")
         # capacity overflow: retry with worst case
-        stream, starts, total, status = run(n * 52)
+        res = run(n * 52)
+        stream, starts, total, status = res[:4]
         if int(status) & 2:
             raise ValueError("stream capacity overflow (worst case!)")
 
@@ -247,9 +257,15 @@ def compress_batch_pallas(
         )
     )
     raw = stream.astype(">u4").tobytes()
+    off_all = res[4].astype(np.int64) if block_index else None
     out = []
     for i in range(b):
         s = int(starts[i]) // 8
         e = int(starts[i + 1]) // 8 if i + 1 < b else -(-int(total) // 8)
-        out.append(header + raw[s:e])
+        data = header + raw[s:e]
+        if off_all is not None:
+            data += container.make_block_index(
+                off_all[i * nb : (i + 1) * nb] - int(starts[i])
+            )
+        out.append(data)
     return out
