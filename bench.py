@@ -332,6 +332,20 @@ def main():
             psnr_ok = metrics.psnr(dec[0], images[0])
             log(f"decode sanity PSNR: {psnr_ok:.2f} dB")
 
+            # TICX-indexed streams: chunk-parallel entropy decode
+            streams_ix = compress_batch_pallas(
+                images, quality=quality, block_index=True
+            )
+            eng.decompress_batch(streams_ix)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                eng.decompress_batch(streams_ix)
+            dt = (time.perf_counter() - t0) / reps
+            results["decode/e2e-indexed"] = images.size / 1e6 / dt
+            _persist_partial(results)
+            log(f"decode/e2e-indexed: "
+                f"{results['decode/e2e-indexed']:.1f} MP/s")
+
             # serial half alone: threaded C 16-bit-peek LUT entropy decode
             from concurrent.futures import ThreadPoolExecutor
 

@@ -85,6 +85,12 @@ def lib() -> ctypes.CDLL | None:
     l.tic_entropy_decode_at.argtypes = [u8, ctypes.c_long, ctypes.c_long,
                                         ctypes.c_long, u8, u8, u8, u8,
                                         i32, i32]
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    l.tic_entropy_decode_chunks.restype = ctypes.c_long
+    l.tic_entropy_decode_chunks.argtypes = [
+        u8, ctypes.c_long, i64, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, u8, u8, u8, u8, i32, i32,
+    ]
     l.tic_entropy_encode.restype = ctypes.c_long
     l.tic_entropy_encode.argtypes = [i32, i32, ctypes.c_long, u32, u8,
                                      u32, u8, u8, ctypes.c_long]
@@ -190,7 +196,6 @@ def entropy_decode_indexed(
     bit-cursor walk, SURVEY 3.2, is broken at every indexed block).
     """
     import os
-    from concurrent.futures import ThreadPoolExecutor
 
     l = lib()
     if dc_lut is None or ac_lut is None:
@@ -199,15 +204,14 @@ def entropy_decode_indexed(
     nbits = len(payload) * 8
     dc = np.zeros(nblocks, dtype=np.int32)
     ac = np.zeros((nblocks, 63), dtype=np.int32)
-    nchunks = len(chunk_offsets)
+    offs = np.ascontiguousarray(chunk_offsets, dtype=np.int64)
+    nchunks = len(offs)
 
-    def run(ci: int) -> None:
-        b0 = ci * stride
-        nb = min(stride, nblocks - b0)
-        if nb <= 0:
-            return
-        l.tic_entropy_decode_at(
-            _ptr(data, ctypes.c_uint8), nbits, int(chunk_offsets[ci]), nb,
+    def run_span(c0: int, nch: int) -> None:
+        b0 = c0 * stride
+        l.tic_entropy_decode_chunks(
+            _ptr(data, ctypes.c_uint8), nbits,
+            _ptr(offs[c0:], ctypes.c_int64), nch, stride, nblocks - b0,
             _ptr(dc_lut[0], ctypes.c_uint8), _ptr(dc_lut[1], ctypes.c_uint8),
             _ptr(ac_lut[0], ctypes.c_uint8), _ptr(ac_lut[1], ctypes.c_uint8),
             _ptr(dc[b0:], ctypes.c_int32), _ptr(ac[b0:], ctypes.c_int32),
@@ -215,12 +219,24 @@ def entropy_decode_indexed(
 
     workers = min(nchunks, max_workers or os.cpu_count() or 1)
     if workers > 1:
-        with ThreadPoolExecutor(workers) as pool:
-            list(pool.map(run, range(nchunks)))
+        # one C call per thread, each covering a contiguous chunk span
+        # (per-chunk dispatch overhead would dwarf the decode work)
+        spans = []
+        per = -(-nchunks // workers)
+        for c0 in range(0, nchunks, per):
+            spans.append((c0, min(per, nchunks - c0)))
+        pool = _decode_pool()
+        list(pool.map(lambda s: run_span(*s), spans))
     else:
-        for ci in range(nchunks):
-            run(ci)
+        run_span(0, nchunks)
     return dc, ac
+
+
+@functools.cache
+def _decode_pool():
+    from concurrent.futures import ThreadPoolExecutor
+
+    return ThreadPoolExecutor(os.cpu_count() or 1)
 
 
 def entropy_encode(dc: np.ndarray, ac: np.ndarray) -> tuple[bytes, int]:

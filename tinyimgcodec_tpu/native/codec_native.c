@@ -195,6 +195,30 @@ EXPORT long tic_entropy_decode_at(const uint8_t *data, long nbits,
                                dc_lut_sym, ac_lut_len, ac_lut_sym, dc, ac);
 }
 
+/* Decode a run of indexed chunks in one call (ctypes/thread dispatch
+ * overhead would otherwise dwarf the ~20 us of work per 64-block
+ * chunk).  starts[c] is the payload bit offset of block c*stride;
+ * callers split the chunk range across threads, one call per thread. */
+EXPORT long tic_entropy_decode_chunks(
+    const uint8_t *data, long nbits, const int64_t *starts, long nchunks,
+    long stride, long nblocks, const uint8_t *dc_lut_len,
+    const uint8_t *dc_lut_sym, const uint8_t *ac_lut_len,
+    const uint8_t *ac_lut_sym, int32_t *dc, int32_t *ac) {
+    long ok = 0;
+    for (long c = 0; c < nchunks; c++) {
+        long b0 = c * stride;
+        long nb = nblocks - b0;
+        if (nb <= 0) break;
+        if (nb > stride) nb = stride;
+        long s = starts[c];
+        if (s < 0 || s > nbits) continue; /* outputs stay zero */
+        ok += entropy_decode_from(data, nbits, s, nb, dc_lut_len,
+                                  dc_lut_sym, ac_lut_len, ac_lut_sym,
+                                  dc + b0, ac + b0 * 63);
+    }
+    return ok;
+}
+
 /* ------------------------------------------------------------------ */
 /* Entropy encode (host fallback / CPU reference for the device path)  */
 /* ------------------------------------------------------------------ */
