@@ -28,6 +28,11 @@ def main(argv=None) -> int:
         "--precision", choices=["exact", "fast"], default="exact",
         help="exact = byte-identical to the float64 reference",
     )
+    p.add_argument(
+        "--block-index", action="store_true",
+        help="append the TICX trailer for parallel decode "
+             "(~1.3%% larger; reference decoders ignore it)",
+    )
     args = p.parse_args(argv)
 
     import numpy as np
@@ -40,6 +45,7 @@ def main(argv=None) -> int:
         quality=args.quality,
         precision=args.precision,
         auto_huffman_table=args.dynamic_table,
+        block_index=args.block_index,
     )
     image = np.asarray(Image.open(args.src).convert("L"))
     data = api.compress(image, backend=args.backend, config=config)
