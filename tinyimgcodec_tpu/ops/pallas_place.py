@@ -9,23 +9,23 @@ Here all bit-level work already happened inside the encode kernel
 (ops/pallas_encode2.py emits every block's words shifted to their final
 stream alignment, plus the global bit offset per block), so assembly is
 pure *word placement*: OR block row b into the stream at word
-``offset_b >> 5``.  Structure (all shaped by measured v5e costs -- the
-serial-per-group version of this kernel ran at ~2 us/group, dominated by
-branches, not data):
+``offset_b >> 5``.  Two kernel generations, both tile-vectorized:
 
-1. **Tile-vectorized placement chain.**  For a whole (bt, 128) tile at
-   once, every block row is placed at its word delta relative to its
-   8-block group's base via an incremental lane-roll + compare-select
-   chain.  The chain runs 16 steps always and another 32 only when the
-   tile's precomputed max group span needs them.
-2. **Tile-vectorized group reduce.**  Blocks of a group occupy 8
-   consecutive sublanes; a masked segmented OR (3 roll steps) collapses
-   them into one window row per group.
-3. **Short serial loop.**  Per group, the only remaining work is one
-   dynamic roll to the base word's phase and a read-OR-write of two
-   128-word rows of the VMEM-resident output.  Groups wider than the
-   chain (span > 47 words; the worst legal block is 52 words) fall back
-   to per-block placement.
+**v3 (default, log masked-roll; 2.6 ms for the 49-image corpus on v5e):**
+
+1. Every block row rolls to its own in-group word delta in exactly 6
+   steps -- one masked lane-roll per bit of the delta (deltas <= 63).
+2. 16-block groups collapse via a 4-step masked segmented OR.
+3. A short serial loop per group (bt/16 iterations): one dynamic roll
+   to the base word's phase + a read-OR-write of two 128-word rows of
+   the VMEM-resident output.  Groups spanning > 63 words fall back to
+   per-block placement.
+
+**v2 (kept for tiny tiles and comparison; 5.3 ms):** an incremental
+roll + compare-select chain that walks every possible delta (16 steps
+always, 32 more when a tile's max group span needs them) over 8-block
+groups -- 6x more VMEM traffic in the vector phase and twice the
+serial RMW iterations.
 
 No serial bit state survives anywhere: grid steps carry nothing, every
 iteration's target comes from the encode kernel's offsets.
