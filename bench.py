@@ -75,40 +75,57 @@ def bench_device(images, quality, precision, k=10, bt=1024):
     n = b * nb
     cap = -(-b * h * w * 4 // 32)
 
-    def step(im):
-        blocks = transform.blockify(im).reshape(n, 64)
-        if precision == "exact":
-            from tinyimgcodec_tpu.ops.pallas_exact import (
-                exact_transform_pallas_cm,
-            )
+    def make_f(use_u32):
+        def step(im):
+            if precision == "exact":
+                from tinyimgcodec_tpu.ops.pallas_exact import (
+                    exact_transform_pallas_cm,
+                )
 
-            zz_cm = exact_transform_pallas_cm(
-                blocks.astype(jnp.int32).T, quality, bt=min(bt, 512)
+                blocks = transform.blockify(im).reshape(n, 64)
+                zz_cm = exact_transform_pallas_cm(
+                    blocks.astype(jnp.int32).T, quality, bt=min(bt, 512)
+                )
+                packed, meta, _ = encode_pallas2(
+                    zz_cm, quality, nb=nb, bt=bt, from_zz=True
+                )
+            elif use_u32:
+                packed, meta, _ = encode_pallas2(
+                    transform.blockify_u32(im), quality, nb=nb, bt=bt,
+                    from_u32=True,
+                )
+            else:
+                blocks = transform.blockify(im).reshape(n, 64)
+                packed, meta, _ = encode_pallas2(
+                    blocks, quality, nb=nb, bt=bt
+                )
+            stream, starts, total, _ = assemble_cm(
+                packed, meta, nb=nb, cap_words=cap, bt=bt
             )
-            packed, meta, _ = encode_pallas2(
-                zz_cm, quality, nb=nb, bt=bt, from_zz=True
-            )
-        else:
-            packed, meta, _ = encode_pallas2(blocks, quality, nb=nb,
-                                             bt=bt)
-        stream, starts, total, _ = assemble_cm(
-            packed, meta, nb=nb, cap_words=cap, bt=bt
-        )
-        return stream[0] + stream[-1] + jnp.uint32(total)
+            return stream[0] + stream[-1] + jnp.uint32(total)
 
-    @jax.jit
-    def f(im):
-        def body(i, acc):
-            # acc-dependent (always-zero) perturbation defeats hoisting
-            eps = jnp.where(
-                acc == jnp.uint32(0xFFFFFFFF), jnp.uint8(1),
-                jnp.uint8(0),
-            )
-            return acc + step(im + eps)
-        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+        @jax.jit
+        def f(im):
+            def body(i, acc):
+                # acc-dependent always-zero perturbation defeats hoisting
+                eps = jnp.where(
+                    acc == jnp.uint32(0xFFFFFFFF), jnp.uint8(1),
+                    jnp.uint8(0),
+                )
+                return acc + step(im + eps)
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+        return f
 
     dev = jax.device_put(images)
-    jax.device_get(f(dev))
+    f = make_f(True)
+    try:
+        jax.device_get(f(dev))
+    except Exception:
+        if precision == "exact":
+            raise
+        f = make_f(False)  # backend without u32-kernel support
+        jax.device_get(f(dev))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -364,3 +364,36 @@ def test_pallas_place_wide_group_fallback():
                      interpret=True)
     nw = -(-int(s1[2]) // 32)
     assert np.array_equal(np.asarray(s1[0])[:nw], np.asarray(s2[0])[:nw])
+
+
+def test_encode_pallas2_fused_blockify_matches():
+    """Alternative input layouts (in-kernel blockify from raw image
+    rows; u32 word-packed blocks, the hardware default) must emit
+    byte-identical packed rows/meta to the block-major uint8 path."""
+    from tinyimgcodec_tpu.ops.pallas_encode2 import encode_pallas2
+    from tinyimgcodec_tpu.ops.transform import blockify_u32
+
+    imgs = np.stack(
+        [synthetic_image(64, 64, seed=80 + i) for i in range(2)]
+    )
+    blocks = np.asarray(transform.blockify(imgs)).reshape(128, 64)
+    p1, m1, o1 = encode_pallas2(blocks, 50, nb=64, bt=64, interpret=True)
+    p2, m2, o2 = encode_pallas2(
+        imgs.reshape(-1, 64), 50, nb=64, bt=64, interpret=True, img_w=64
+    )
+    assert not bool(o1) and not bool(o2)
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+    assert np.array_equal(np.asarray(m1), np.asarray(m2))
+
+    u32 = np.asarray(blockify_u32(imgs))
+    p3, m3, o3 = encode_pallas2(
+        u32, 50, nb=64, bt=64, interpret=True, from_u32=True
+    )
+    assert not bool(o3)
+    assert np.array_equal(np.asarray(p1), np.asarray(p3))
+    assert np.array_equal(np.asarray(m1), np.asarray(m3))
+
+    with pytest.raises(ValueError):
+        # tile covers half a band: 4 * 64 = 256 bits % img_w=512 != 0
+        encode_pallas2(imgs.reshape(-1, 32), 50, nb=64, bt=4,
+                       interpret=True, img_w=512)

@@ -61,7 +61,22 @@ ROW_WORDS = 56  # pre-shifted stream words per block (52 + spill + pad)
 EMIT_UNROLL = 5  # slots per fori_loop iteration (65 = 13 * 5)
 
 
-def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool):
+def _u32_perm() -> np.ndarray:
+    """Pixel permutation of the u32-packed input mode.
+
+    ``blockify_u32`` ships each block as 16 uint32 words; the kernel
+    expands them to 64 lanes by tiling the 16 words four times and
+    extracting byte ``lane // 16`` -- so lane l carries pixel
+    ``(l % 16) * 4 + l // 16`` (little-endian byte order).  The encode
+    matrix is row-permuted to match, making the math identical to the
+    byte-layout path.
+    """
+    lanes = np.arange(64)
+    return (lanes % 16) * 4 + lanes // 16
+
+
+def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool,
+                 img_w: int = 0, from_u32: bool = False):
     m_np, off_np = _fast_encode_matrix(quality)
     dc_comb, ac_comb, zp0, zp1, _ = entropy_ops._symbol_tables()
     eob_w0 = np.uint32(C.EOB_CODE << 28)
@@ -83,9 +98,42 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool):
         if from_zz:
             zz = x_ref[...]  # (64, bt) pre-quantized zig-zag
         else:
-            x = x_ref[...].astype(jnp.int32).astype(jnp.float32)
+            if from_u32:
+                # u32-packed blocks (bt, 16): tile the 16 words across
+                # 64 lanes and extract one byte per lane (the pixel
+                # permutation this induces is folded into m above, so
+                # bytes out are identical to the uint8-layout path).
+                # Motivation: the host-side blockify transpose then
+                # moves 4-byte words, 8x coarser than a uint8 shuffle.
+                # m_ref is stacked [P; m]: P is a 0/1 un-permutation
+                # matrix restoring natural pixel order with one EXACT
+                # matmul (single term per output, no rounding), so the
+                # main matmul keeps its summation order and fast-mode
+                # bytes stay bit-identical to the uint8-layout path.
+                x32 = x_ref[...]  # (bt, 16) uint32
+                xt = pltpu.repeat(x32, 4, 1)  # (bt, 64) lane-tiled
+                lane = jax.lax.broadcasted_iota(jnp.int32, (bt, 64), 1)
+                sh = ((lane // 16) * 8).astype(jnp.uint32)
+                xp = ((xt >> sh) & jnp.uint32(0xFF)).astype(
+                    jnp.int32
+                ).astype(jnp.float32)  # Mosaic lacks u32->f32 casts
+                x = jnp.dot(xp, m_ref[0:64, :],
+                            preferred_element_type=jnp.float32)
+            elif img_w:
+                # fused blockify from raw image rows: interpret-mode
+                # only -- Mosaic cannot lower the 4-D relayout
+                # ("unsupported shape cast"); kept as the oracle for
+                # the u32 path and for possible future Mosaic support.
+                r = bt * 64 // img_w
+                raw = x_ref[...]  # (r, img_w) uint8
+                x4 = raw.reshape(r // 8, 8, img_w // 8, 8)
+                x = jnp.transpose(x4, (0, 2, 1, 3)).reshape(bt, 64)
+                x = x.astype(jnp.int32).astype(jnp.float32)
+            else:
+                x = x_ref[...].astype(jnp.int32).astype(jnp.float32)
+            mm = m_ref[64:128, :] if from_u32 else m_ref[...]
             y = jnp.dot(  # (bt, 64) block-major
-                x, m_ref[...], preferred_element_type=jnp.float32
+                x, mm, preferred_element_type=jnp.float32
             )
             zzf = y.T  # (64, bt) coefficient-major
             row = jax.lax.broadcasted_iota(jnp.int32, (64, bt), 0)
@@ -245,21 +293,35 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool):
 
 @functools.cache
 def _build_call(quality: int, nb: int, bt: int, n: int,
-                interpret: bool, from_zz: bool):
+                interpret: bool, from_zz: bool, img_w: int = 0,
+                from_u32: bool = False):
     assert SLOTS % EMIT_UNROLL == 0
-    kernel = _make_kernel(quality, nb, bt, from_zz)
-    in_dtype = jnp.int32 if from_zz else jnp.uint8
-    in_spec = (
-        pl.BlockSpec((64, bt), lambda t: (0, t), memory_space=pltpu.VMEM)
-        if from_zz
-        else pl.BlockSpec((bt, 64), lambda t: (t, 0),
-                          memory_space=pltpu.VMEM)
-    )
+    kernel = _make_kernel(quality, nb, bt, from_zz, img_w, from_u32)
+    if from_u32:
+        in_dtype = jnp.uint32
+    elif from_zz:
+        in_dtype = jnp.int32
+    else:
+        in_dtype = jnp.uint8
+    if from_u32:
+        in_spec = pl.BlockSpec((bt, 16), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM)
+    elif img_w:
+        rows = bt * 64 // img_w
+        in_spec = pl.BlockSpec((rows, img_w), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM)
+    elif from_zz:
+        in_spec = pl.BlockSpec((64, bt), lambda t: (0, t),
+                               memory_space=pltpu.VMEM)
+    else:
+        in_spec = pl.BlockSpec((bt, 64), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM)
+    m_rows = 128 if from_u32 else 64
     grid_spec = pl.GridSpec(
         grid=(n // bt,),
         in_specs=[
             in_spec,
-            pl.BlockSpec((64, 64), lambda t: (0, 0),
+            pl.BlockSpec((m_rows, 64), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -278,6 +340,10 @@ def _build_call(quality: int, nb: int, bt: int, n: int,
         ],
     )
     m_np, _ = _fast_encode_matrix(quality)
+    if from_u32:
+        perm_np = np.zeros((64, 64), np.float64)
+        perm_np[np.arange(64), _u32_perm()] = 1.0
+        m_np = np.concatenate([perm_np, m_np], axis=0)  # [P; m]
     params = None if interpret else pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),
     )
@@ -306,12 +372,17 @@ def encode_pallas2(
     bt: int = 1024,
     interpret: bool = False,
     from_zz: bool = False,
+    img_w: int = 0,
+    from_u32: bool = False,
 ):
     """Fused encode to stream-aligned block rows.
 
-    blocks: (N, 64) uint8 block-major pixels (fast mode), or (64, N)
-    int32 coefficient-major quantized zig-zag coefficients
-    (from_zz=True, e.g. from ops/pallas_exact.py).
+    blocks: (N, 64) uint8 block-major pixels (fast mode), (64, N) int32
+    coefficient-major quantized zig-zag coefficients (from_zz=True,
+    e.g. from ops/pallas_exact.py), or -- with img_w set -- raw image
+    rows (N * 64 / img_w, img_w) uint8, blockified inside the kernel
+    (saves the standalone HBM->HBM blockify pass; requires
+    bt * 64 % img_w == 0, i.e. tiles cover whole 8-row bands).
 
     Returns ((N, 56) uint32 packed rows, (2, N) uint32 meta, overflow
     bool): packed rows hold each block's stream words already shifted to
@@ -319,9 +390,20 @@ def encode_pallas2(
     1 the bit count.  nb: blocks per image (DC reset + byte-aligned
     image boundaries).  N must be a multiple of bt and bt <= nb.
     """
-    n = blocks.shape[1] if from_zz else blocks.shape[0]
+    if img_w:
+        if from_zz or from_u32:
+            raise ValueError("img_w excludes from_zz/from_u32")
+        if (bt * 64) % img_w or img_w % 8:
+            raise ValueError("tile must cover whole 8-row image bands")
+        n = blocks.shape[0] * img_w // 64
+    elif from_u32:
+        if from_zz:
+            raise ValueError("from_u32 and from_zz are mutually exclusive")
+        n = blocks.shape[0]
+    else:
+        n = blocks.shape[1] if from_zz else blocks.shape[0]
     if n % bt:
         raise ValueError(f"N={n} not a multiple of tile {bt}")
     call = _build_call(int(quality), int(nb), int(bt), n, interpret,
-                       from_zz)
+                       from_zz, int(img_w), bool(from_u32))
     return call(blocks)

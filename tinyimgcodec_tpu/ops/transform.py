@@ -68,6 +68,25 @@ def blockify(image: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(*lead, (h // 8) * (w // 8), 8, 8)
 
 
+def blockify_u32(images: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) uint8 -> (N, 16) uint32 word-packed blocks.
+
+    Same raster block order as :func:`blockify`, but the transpose
+    moves little-endian 4-byte words instead of single bytes -- 8x
+    coarser HBM access, measurably cheaper on TPU.  Block b's word k
+    holds pixels 4k..4k+3 of the row-major 8x8 block (LE byte order);
+    the pallas encode kernel (from_u32 mode) unpacks lanes in VMEM.
+    """
+    import jax
+
+    *lead, h, w = images.shape
+    x = images.reshape(*lead, h, w // 4, 4)
+    x32 = jax.lax.bitcast_convert_type(x, jnp.uint32)  # (..., h, w/4)
+    x32 = x32.reshape(*lead, h // 8, 8, w // 8, 2)
+    x32 = jnp.swapaxes(x32, -3, -2)
+    return x32.reshape(-1, 16)
+
+
 def unblockify(blocks: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     *lead, _, _, _ = blocks.shape
     x = blocks.reshape(*lead, h // 8, w // 8, 8, 8)

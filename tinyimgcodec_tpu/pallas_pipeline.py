@@ -24,16 +24,23 @@ from .ops.pallas_encode import encode_pallas
 from .ops.pallas_stitch import stitch_pallas
 from .xla_cache import ensure_cache
 
+# flips to False the first time a backend rejects the u32-input kernel
+_U32_OK = True
+
 
 @functools.cache
 def _build(b: int, h: int, w: int, quality: int, cap_words: int,
            bt: int, interpret: bool, version: str,
-           with_meta: bool = False):
+           with_meta: bool = False, use_u32: bool = True):
     """Fast-precision (f32) pipeline; ``version`` picks the kernel
     family: "v2" = coefficient-major encode + word placement, "v1" =
     block-major encode + sequential device BitWriter (kept for
     comparison benchmarks; v2 dominates it).  with_meta additionally
-    returns the per-block global bit offsets (for the TICX index)."""
+    returns the per-block global bit offsets (for the TICX index).
+
+    use_u32 feeds the kernel word-packed blocks (cheaper XLA blockify
+    transpose, bit-identical output); callers fall back to the uint8
+    layout if the backend rejects it."""
     ensure_cache()
     nb = (h // 8) * (w // 8)
 
@@ -41,11 +48,19 @@ def _build(b: int, h: int, w: int, quality: int, cap_words: int,
         from .ops.pallas_encode2 import encode_pallas2
         from .ops.pallas_place import assemble_cm
 
+        use_u32 = use_u32 and w % 4 == 0
+
         def run(images):  # (B, H, W) uint8
-            blocks = transform.blockify(images).reshape(b * nb, 64)
-            packed, meta, overflow = encode_pallas2(
-                blocks, quality, nb=nb, bt=bt, interpret=interpret,
-            )
+            if use_u32:
+                packed, meta, overflow = encode_pallas2(
+                    transform.blockify_u32(images), quality, nb=nb,
+                    bt=bt, interpret=interpret, from_u32=True,
+                )
+            else:
+                blocks = transform.blockify(images).reshape(b * nb, 64)
+                packed, meta, overflow = encode_pallas2(
+                    blocks, quality, nb=nb, bt=bt, interpret=interpret,
+                )
             stream, starts, total, cap_over = assemble_cm(
                 packed, meta, nb=nb, cap_words=cap_words, bt=bt,
                 interpret=interpret,
@@ -235,9 +250,24 @@ def compress_batch_pallas(
             return jax.device_get(s2(zz_cm))
     else:
         def run(cap):
+            global _U32_OK
             fn = _build(b, h, w, int(quality), cap, bt, interpret,
-                        version, with_meta=block_index)
-            return jax.device_get(fn(dev_images))
+                        version, with_meta=block_index,
+                        use_u32=_U32_OK)
+            try:
+                return jax.device_get(fn(dev_images))
+            except ValueError:
+                raise
+            except Exception:
+                if not _U32_OK:
+                    raise
+                # backend rejected the u32-input kernel (e.g. an older
+                # Mosaic); fall back to the uint8 layout permanently
+                _U32_OK = False
+                fn = _build(b, h, w, int(quality), cap, bt, interpret,
+                            version, with_meta=block_index,
+                            use_u32=False)
+                return jax.device_get(fn(dev_images))
 
     res = run(cap_words)
     stream, starts, total, status = res[:4]

@@ -222,12 +222,20 @@ def _build_pallas(mesh_key, quality: int, nb: int,
     from ..ops.pallas_place import assemble_cm
 
     def body(images_local):  # (b_local, H, W) uint8, one shard
-        blocks = transform.blockify(images_local).reshape(
-            b_local * nb, 64
-        )
-        packed, meta, over = encode_pallas2(
-            blocks, quality, nb=nb, bt=bt, interpret=interpret,
-        )
+        w = images_local.shape[-1]
+        if w % 4 == 0:
+            # u32-packed blockify (cheaper transpose; same bytes)
+            packed, meta, over = encode_pallas2(
+                transform.blockify_u32(images_local), quality, nb=nb,
+                bt=bt, interpret=interpret, from_u32=True,
+            )
+        else:
+            blocks = transform.blockify(images_local).reshape(
+                b_local * nb, 64
+            )
+            packed, meta, over = encode_pallas2(
+                blocks, quality, nb=nb, bt=bt, interpret=interpret,
+            )
         stream, starts, total, cap_over = assemble_cm(
             packed, meta, nb=nb, cap_words=cap_words_local, bt=bt,
             interpret=interpret,
