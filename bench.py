@@ -423,6 +423,21 @@ def main():
     }
     if not results:
         record["error"] = "all phases failed (device unreachable?)"
+        # transparency pointer, NOT a substitute measurement: the most
+        # recent successfully-captured device numbers, clearly marked
+        try:
+            import pathlib
+
+            prev = pathlib.Path(__file__).parent / "reports"
+            for name in ("bench_r02_preview.json", "bench_partial.json"):
+                p = prev / name
+                if p.exists():
+                    record["last_known_good_stale"] = json.loads(
+                        p.read_text()
+                    )
+                    break
+        except (OSError, ValueError):
+            pass
     print(json.dumps(record))
 
 
