@@ -116,11 +116,13 @@ def test_symbol_counts_match_per_block_rle(small_image):
     for row in arrays.ac:
         for run, value in run_length_encode(row):
             ref_ac[(run, int(bits_required(np.int32(value))))] += 1
-    for cat in range(12):
+    from tinyimgcodec_tpu.huffman import AC_SIZES, DC_CATS
+
+    for cat in range(DC_CATS):
         assert dc_counts[cat] == ref_dc.get(cat, 0)
     for run in range(16):
-        for size in range(11):
-            assert ac_counts[run * 11 + size] == ref_ac.get(
+        for size in range(AC_SIZES):
+            assert ac_counts[run * AC_SIZES + size] == ref_ac.get(
                 (run, size), 0
             ), (run, size)
 

@@ -168,17 +168,28 @@ def _encode_payload(
     dc = arrays.dc
     ac = arrays.ac
     base = writer.bit_length()
-    for i in range(arrays.nblocks):
-        if offsets_out is not None:
-            offsets_out.append(writer.bit_length() - base)
-        d = int(dc[i])
-        cat = int(bits_required(np.int32(d)))
-        writer.write_bitstring(dc_tab[cat])
-        writer.write_int(d)
-        for run, value in golden.run_length_encode(ac[i]):
-            size = int(bits_required(np.int32(value)))
-            writer.write_bitstring(ac_tab[(run, size)])
-            writer.write_int(value)
+    try:
+        for i in range(arrays.nblocks):
+            if offsets_out is not None:
+                offsets_out.append(writer.bit_length() - base)
+            d = int(dc[i])
+            cat = int(bits_required(np.int32(d)))
+            writer.write_bitstring(dc_tab[cat])
+            writer.write_int(d)
+            for run, value in golden.run_length_encode(ac[i]):
+                size = int(bits_required(np.int32(value)))
+                writer.write_bitstring(ac_tab[(run, size)])
+                writer.write_int(value)
+    except KeyError as e:
+        # standard Annex-K tables stop at DC category 11 / AC size 10;
+        # qualities 97-99 can exceed that on high-contrast input (the
+        # reference dies with this same bare KeyError, codec.py:153-162)
+        raise ValueError(
+            "coefficient magnitude exceeds the standard Huffman table "
+            f"range (symbol {e.args[0]!r}); re-encode with "
+            "auto_generate_huffman_table=True -- dynamic tables extend "
+            "to DC category 15 / AC size 15"
+        ) from None
 
 
 def compress(

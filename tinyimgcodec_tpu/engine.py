@@ -196,8 +196,10 @@ class Engine:
         )(blocks)
         if bool(overflow):
             raise ValueError(
-                "coefficient magnitude exceeds Huffman table range "
-                "(quality too high for this input)"
+                "coefficient magnitude exceeds the standard Huffman "
+                "table range (quality too high for this input); "
+                "re-encode with auto_generate_huffman_table=True -- "
+                "dynamic tables extend to DC category 15 / AC size 15"
             )
         words = np.asarray(words)
         block_bits = np.asarray(block_bits)
@@ -325,14 +327,19 @@ class Engine:
             ac[idx] = zz_patch[:, 1:]
             dc = np.diff(dc_abs, prepend=np.int32(0)).astype(np.int32)
         spec = build_huffman_spec_from_counts(*symbol_counts(dc, ac))
-        words, block_bits, overflow = self._entropy_custom(
-            dc, ac,
-            spec.dc_code, spec.dc_len.astype(np.uint32),
-            spec.ac_code, spec.ac_len.astype(np.uint32),
-        )
         arrays = CodecArrays(
             height=image.shape[0], width=image.shape[1],
             quality=quality, dc=dc, ac=ac,
+        )
+        if spec.extended:
+            # coefficients need DC categories >= 12 / AC sizes >= 11
+            # (qualities 97-99 on high-contrast input); the device
+            # entropy layout is standard-range, so emit via the host
+            # container path with the extended dynamic tables --
+            # same canonical builder, same bytes as container.compress.
+            return container.compress_arrays(arrays, True)
+        words, block_bits, overflow = self._entropy_custom(
+            dc, ac, *spec.device_tables()
         )
         if bool(overflow):
             # custom table exceeded the device layout's capacity bounds

@@ -21,6 +21,17 @@ from .golden import CodecArrays, bits_required
 
 MAX_CODE_LENGTH = 16
 
+# Extended dynamic-table symbol range.  The standard Annex-K tables stop at
+# DC category 11 / AC size 10; qualities 97-99 push quantizer divisors
+# below 1.0, so coefficients can need categories up to ~13 (the reference
+# crashes there with a bare KeyError, codec.py:153-162).  The container's
+# custom-table wire format stores category and size as u4, so dynamic
+# tables extend cleanly to 16 categories / 16 sizes.
+DC_CATS = 16   # dynamic-table DC categories (standard tables: 12)
+AC_SIZES = 16  # dynamic-table AC sizes per run (standard tables: 11)
+STD_DC_CATS = 12
+STD_AC_SIZES = 11
+
 
 def _huffman_code_lengths(freqs: dict, max_len: int = MAX_CODE_LENGTH) -> dict:
     """Symbol -> code length, optimal then length-limited.
@@ -96,20 +107,20 @@ def _canonical_codes(lengths: dict) -> dict:
 class HuffmanSpec:
     """Numeric code tables for one stream (DC categories + AC (run,size))."""
 
-    dc_code: np.ndarray  # (12,) uint32
-    dc_len: np.ndarray   # (12,) int32 (0 = symbol absent)
-    ac_code: np.ndarray  # (16, 11) uint32
-    ac_len: np.ndarray   # (16, 11) int32
+    dc_code: np.ndarray  # (DC_CATS,) uint32
+    dc_len: np.ndarray   # (DC_CATS,) int32 (0 = symbol absent)
+    ac_code: np.ndarray  # (16, AC_SIZES) uint32
+    ac_len: np.ndarray   # (16, AC_SIZES) int32
 
     def string_tables(self) -> dict[str, dict]:
         dc = {
             cat: format(int(self.dc_code[cat]), f"0{int(self.dc_len[cat])}b")
-            for cat in range(12)
+            for cat in range(DC_CATS)
             if self.dc_len[cat]
         }
         ac = {}
         for run in range(16):
-            for size in range(11):
+            for size in range(AC_SIZES):
                 l = int(self.ac_len[run, size])
                 if l:
                     ac[(run, size)] = format(
@@ -117,19 +128,48 @@ class HuffmanSpec:
                     )
         return {DC: dc, AC: ac}
 
+    @property
+    def extended(self) -> bool:
+        """True when any symbol falls outside the standard-table range
+        (DC category >= 12 or AC size >= 11) — the device entropy layout
+        cannot represent those; encode via the host container path."""
+        return bool(
+            self.dc_len[STD_DC_CATS:].any()
+            or self.ac_len[:, STD_AC_SIZES:].any()
+        )
+
+    def device_tables(self):
+        """Standard-range views for the device entropy kernels, which use
+        the (12,) / (16, 11) merged-table layout."""
+        return (
+            self.dc_code[:STD_DC_CATS],
+            self.dc_len[:STD_DC_CATS].astype(np.uint32),
+            np.ascontiguousarray(self.ac_code[:, :STD_AC_SIZES]),
+            np.ascontiguousarray(
+                self.ac_len[:, :STD_AC_SIZES]
+            ).astype(np.uint32),
+        )
+
 
 def symbol_counts(dc: np.ndarray, ac: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized symbol histograms over all blocks.
 
     dc: (n,) DPCM'd DC diffs; ac: (n, 63) zig-zag AC rows.  Returns
-    (dc_counts (12,), ac_counts (176,)) where ac index = run * 11 + size
-    (ZRL prefixes at 15*11, one EOB per block at 0) -- the exact symbol
-    stream :func:`golden.run_length_encode` produces per block, computed
-    without the per-block Python loop (reference huffman.py:187-194
-    counts by looping).
+    (dc_counts (DC_CATS,), ac_counts (16 * AC_SIZES,)) where ac index =
+    run * AC_SIZES + size (ZRL prefixes at 15 * AC_SIZES, one EOB per
+    block at 0) -- the exact symbol stream
+    :func:`golden.run_length_encode` produces per block, computed without
+    the per-block Python loop (reference huffman.py:187-194 counts by
+    looping).  Categories/sizes beyond the extended range raise (they
+    cannot exist for 8-bit input at any quality >= 1).
     """
     dc = np.asarray(dc).reshape(-1)
-    dc_counts = np.bincount(bits_required(dc), minlength=12)[:12]
+    dc_cats = bits_required(dc)
+    if dc_cats.size and int(dc_cats.max()) >= DC_CATS:
+        raise ValueError(
+            "DC difference magnitude exceeds the dynamic-table range"
+        )
+    dc_counts = np.bincount(dc_cats, minlength=DC_CATS)[:DC_CATS]
     ac = np.asarray(ac).reshape(-1, 63)
     n = ac.shape[0]
     nz = ac != 0
@@ -141,9 +181,14 @@ def symbol_counts(dc: np.ndarray, ac: np.ndarray) -> tuple[np.ndarray, np.ndarra
     )
     run = pos - prev - 1  # zeros since previous nonzero (valid where nz)
     size = bits_required(ac)
-    idx = ((run & 15) * 11 + size)[nz]
-    ac_counts = np.bincount(idx, minlength=176)[:176]
-    ac_counts[15 * 11] += int((run >> 4)[nz].sum())  # folded ZRL prefixes
+    if nz.any() and int(size[nz].max()) >= AC_SIZES:
+        raise ValueError(
+            "AC coefficient magnitude exceeds the dynamic-table range"
+        )
+    idx = ((run & 15) * AC_SIZES + size)[nz]
+    ac_counts = np.bincount(idx, minlength=16 * AC_SIZES)[: 16 * AC_SIZES]
+    # folded ZRL prefixes
+    ac_counts[15 * AC_SIZES] += int((run >> 4)[nz].sum())
     ac_counts[0] += n  # unconditional EOB per block
     return dc_counts.astype(np.int64), ac_counts.astype(np.int64)
 
@@ -170,23 +215,23 @@ def build_huffman_spec_from_counts(
     """
     dc_freqs = {cat: int(c) for cat, c in enumerate(dc_counts) if c}
     ac_freqs = {
-        (run, size): int(ac_counts[run * 11 + size])
+        (run, size): int(ac_counts[run * AC_SIZES + size])
         for run in range(16)
-        for size in range(11)
-        if ac_counts[run * 11 + size]
+        for size in range(AC_SIZES)
+        if ac_counts[run * AC_SIZES + size]
     }
     dc_lengths = _huffman_code_lengths(dc_freqs)
     ac_lengths = _huffman_code_lengths(ac_freqs)
     dc_codes = _canonical_codes(dc_lengths)
     ac_codes = _canonical_codes(ac_lengths)
 
-    dc_code = np.zeros(12, dtype=np.uint32)
-    dc_len = np.zeros(12, dtype=np.int32)
+    dc_code = np.zeros(DC_CATS, dtype=np.uint32)
+    dc_len = np.zeros(DC_CATS, dtype=np.int32)
     for sym, (c, l) in dc_codes.items():
         dc_code[sym] = c
         dc_len[sym] = l
-    ac_code = np.zeros((16, 11), dtype=np.uint32)
-    ac_len = np.zeros((16, 11), dtype=np.int32)
+    ac_code = np.zeros((16, AC_SIZES), dtype=np.uint32)
+    ac_len = np.zeros((16, AC_SIZES), dtype=np.int32)
     for (run, size), (c, l) in ac_codes.items():
         ac_code[run, size] = c
         ac_len[run, size] = l
