@@ -20,6 +20,7 @@ Prints one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -201,38 +202,74 @@ def bench_mode(images, quality, precision, assemble, mesh, reps,
     return mp / dt, out
 
 
-def _device_alive(timeout_s: int = 600) -> bool:
-    """Probe the device in a subprocess with a hard timeout (a hung call
-    into a dead remote tunnel cannot be interrupted by signals).
+def _supervise() -> int:
+    """Run the benchmark body in a child process with a hard wall
+    timeout, then print exactly one JSON record.
 
-    Cold backend init through the tunnel routinely takes 2-6 minutes —
-    round 1's BENCH record was lost to a 180 s probe timing out on a
-    live device — so the timeout is generous and callers retry."""
+    Rationale: a hung call into a dead remote tunnel cannot be
+    interrupted by in-process signals, and round 1's BENCH record was
+    lost to exactly that.  A separate probe subprocess costs a full
+    backend init (~200 s through this tunnel) and proves little — the
+    child IS the probe.  The child persists each phase's result to
+    reports/bench_partial.json as it lands, so even a mid-run hang
+    still yields THIS run's completed phases."""
+    import pathlib
     import subprocess
 
-    code = (
-        "import jax, jax.numpy as jnp;"
-        "print(float(jax.jit(lambda x: x + 1)(jnp.float32(1))))"
-    )
+    part = pathlib.Path(__file__).parent / "reports" / "bench_partial.json"
+    try:
+        part.unlink()
+    except OSError:
+        pass
+
+    env = dict(os.environ, TINYIMGCODEC_BENCH_CHILD="1")
+    budget = int(os.environ.get("TINYIMGCODEC_BENCH_BUDGET_S", "2700"))
     try:
         r = subprocess.run(
-            [sys.executable, "-c", code],
-            timeout=timeout_s, capture_output=True,
+            [sys.executable, __file__], env=env, timeout=budget,
+            stdout=subprocess.PIPE, stderr=None,
         )
-        return r.returncode == 0
-    except (subprocess.SubprocessError, OSError):
-        return False
+        lines = [
+            ln for ln in r.stdout.decode(errors="replace").splitlines()
+            if ln.strip().startswith("{")
+        ]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        log(f"bench child exited rc={r.returncode} without a record")
+    except subprocess.TimeoutExpired:
+        log(f"bench child exceeded {budget}s; salvaging partial results")
+    except OSError as e:
+        log(f"bench child failed to launch: {e}")
 
-
-def _device_alive_retry(attempts: int = 3, backoff_s: int = 60) -> bool:
-    for i in range(attempts):
-        if _device_alive():
-            return True
-        log(f"device probe {i + 1}/{attempts} failed"
-            + (f"; retrying in {backoff_s}s" if i + 1 < attempts else ""))
-        if i + 1 < attempts:
-            time.sleep(backoff_s)
-    return False
+    # salvage: phases that completed before the hang/crash
+    results = {}
+    try:
+        results = json.loads(part.read_text())
+    except (OSError, ValueError):
+        pass
+    value = results.get("pallas-fast/device",
+                        max(results.values()) if results else 0.0)
+    record = {
+        "metric": "corpus_encode_throughput_per_chip",
+        "value": round(value, 2),
+        "unit": "MP/s",
+        "vs_baseline": round(value / BASELINE_MPS, 1),
+        "modes": results,
+    }
+    if not results:
+        record["error"] = "benchmark child hung or crashed with no phases"
+        try:
+            prev = pathlib.Path(__file__).parent / "reports"
+            p = prev / "bench_r02_preview.json"
+            if p.exists():
+                record["last_known_good_stale"] = json.loads(p.read_text())
+        except (OSError, ValueError):
+            pass
+    else:
+        record["note"] = "partial: child hung/crashed after these phases"
+    print(json.dumps(record))
+    return 0
 
 
 def _persist_partial(results: dict):
@@ -253,11 +290,12 @@ def _persist_partial(results: dict):
 def main():
     from tinyimgcodec_tpu import container, corpus, metrics
     from tinyimgcodec_tpu.parallel import make_mesh
+    from tinyimgcodec_tpu.xla_cache import ensure_cache
 
-    if not _device_alive_retry():
-        # fail-soft: the probe is advisory — still attempt the real
-        # workload under per-phase alarms rather than recording 0.0
-        log("device probes failed; attempting benchmark anyway")
+    # persistent compile cache: bench_device/bench_decode_device define
+    # their own jits, so opt in explicitly before any compilation --
+    # cold Mosaic compiles through the dev tunnel cost minutes.
+    ensure_cache()
 
     images = corpus.load_corpus()
     log(f"corpus: {images.shape}")
@@ -442,4 +480,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("TINYIMGCODEC_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_supervise())
