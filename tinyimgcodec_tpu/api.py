@@ -106,6 +106,77 @@ def compress(
     )
 
 
+def compress_batch(
+    images,
+    quality: int = 50,
+    backend: str = "auto",
+    precision: str = "exact",
+    block_index: bool = False,
+) -> list[bytes]:
+    """(B, H, W) same-shaped grayscale images -> list of compressed bytes.
+
+    The batch entry point of the public API: one device dispatch for the
+    whole batch through the fused Pallas pipeline (the flagship
+    throughput path).  ``images`` may be a numpy array or an
+    already-on-device ``jax.Array`` (e.g. from ``jax.device_put``) --
+    the latter skips the host->device transfer.  Shapes the kernels
+    cannot tile fall back to the XLA batch pipeline, then to the host
+    path; every fallback preserves the same bytes contract
+    (precision="exact" is byte-identical to the float64 reference).
+    """
+    config = CodecConfig(
+        quality=quality, precision=precision, block_index=block_index
+    )
+    if backend not in ("auto", "jax", "host"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend != "host" and _get_engine(config.precision) is not None:
+        from .pallas_pipeline import compress_batch_pallas
+
+        engine = _get_engine(config.precision)
+        staged = None
+        if not isinstance(images, np.ndarray) and hasattr(
+            images, "devices"
+        ):  # jax.Array already on device (must be block-aligned)
+            staged = images
+        try:
+            if engine._use_pallas:
+                kw = dict(
+                    quality=config.quality, precision=config.precision,
+                    block_index=config.block_index,
+                    interpret=engine._pallas_interpret,
+                )
+                if staged is not None:
+                    return compress_batch_pallas(None, staged=staged, **kw)
+                return compress_batch_pallas(np.asarray(images), **kw)
+        except ValueError as e:
+            if "not tileable" not in str(e):
+                raise
+        from .parallel.batch import compress_batch as xla_batch
+
+        out = xla_batch(
+            np.asarray(images), quality=config.quality,
+            precision=config.precision,
+        )
+        if config.block_index:
+            # XLA fallback has no per-block offsets; re-encode per image
+            return [
+                compress(
+                    im, quality=config.quality, precision=config.precision,
+                    block_index=True,
+                )
+                for im in np.asarray(images)
+            ]
+        return out
+    if backend == "jax":
+        raise _engine_unavailable_error()
+    return [
+        container.compress(
+            im, config.quality, block_index=config.block_index
+        )
+        for im in np.asarray(images)
+    ]
+
+
 def decompress(data: bytes, backend: str = "auto",
                precision: str = "exact") -> np.ndarray:
     """Compressed bytes -> uint8 image (H, W)."""

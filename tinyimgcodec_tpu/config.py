@@ -35,6 +35,11 @@ class CodecConfig:
             raise ValueError(f"unknown precision {self.precision!r}")
         if self.assemble not in ("host", "device"):
             raise ValueError(f"unknown assemble mode {self.assemble!r}")
+        if self.block_index and self.auto_huffman_table:
+            raise ValueError(
+                "block_index is a standard-table-only feature; it cannot "
+                "be combined with auto_huffman_table (docs/FORMAT.md)"
+            )
 
 
 # The embedded encoder's qfactor enum (reference c/img.h:22).

@@ -210,14 +210,26 @@ def compress_arrays(
     arrays: CodecArrays,
     auto_generate_huffman_table: bool = False,
     block_index: bool = False,
+    spec: HuffmanSpec | None = None,
 ) -> bytes:
+    """``spec``: a prebuilt HuffmanSpec for the auto-table path (skips
+    recomputing histograms when the caller already built one)."""
     writer = BitWriter()
     if auto_generate_huffman_table:
-        tables = build_huffman_spec(arrays).string_tables()
+        if block_index:
+            # the TICX trailer is a standard-table-only feature (the
+            # index-parallel C decoder peeks with the standard LUTs)
+            raise ValueError(
+                "block_index is not supported with "
+                "auto_generate_huffman_table (see docs/FORMAT.md)"
+            )
+        if spec is None:
+            spec = build_huffman_spec(arrays)
+        tables = spec.string_tables()
         writer.write_bytes(make_header(arrays, custom_table=True))
         write_huffman_table(writer, tables)
         _encode_payload(arrays, tables, writer)
-        return writer.to_bytes()  # index is a standard-table-only feature
+        return writer.to_bytes()
     writer.write_bytes(make_header(arrays))
     offsets: list[int] | None = [] if block_index else None
     _encode_payload(arrays, _DEFAULT_TABLES, writer, offsets)

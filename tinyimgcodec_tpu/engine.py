@@ -52,9 +52,29 @@ def _host_block_payload(dc_diff: int, ac_row: np.ndarray) -> tuple[bytes, int]:
 
 
 class Engine:
-    """Lazy holder of jitted pipeline stages (imports jax at init)."""
+    """Lazy holder of jitted pipeline stages (imports jax at init).
 
-    def __init__(self, precision: str = transform.EXACT):
+    On TPU backends the standard-table encode routes through the fused
+    Pallas v2 kernels (pallas_pipeline.compress_batch_pallas, batch of
+    one) -- the same program as the flagship batch path, so the public
+    ``compress()`` entry point IS the fastest encoder (matching the
+    reference, whose single entry point codec.py:133 is its fastest).
+    Shapes the kernels cannot tile (block count not a multiple of 8)
+    and non-TPU backends fall back to the plain XLA program.
+
+    use_pallas: force the routing on/off (None = auto: TPU backend, or
+    the TINYIMGCODEC_FORCE_PALLAS env var).  pallas_interpret: run the
+    kernels in Pallas interpret mode (CPU correctness testing).
+    """
+
+    # images larger than this fall back to the XLA path (the placement
+    # kernel keeps the whole output stream VMEM-resident); parallel.tiled
+    # is the intended path for huge images
+    _PALLAS_MAX_PIXELS = 16 << 20
+
+    def __init__(self, precision: str = transform.EXACT,
+                 use_pallas: bool | None = None,
+                 pallas_interpret: bool = False):
         import jax  # deferred so host-only users never pay for it
 
         from .xla_cache import ensure_cache
@@ -62,6 +82,13 @@ class Engine:
         ensure_cache()
         self._jax = jax
         self.precision = precision
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                or bool(os.environ.get("TINYIMGCODEC_FORCE_PALLAS"))
+            )
+        self._use_pallas = use_pallas
+        self._pallas_interpret = pallas_interpret
         self._encode_fn = functools.lru_cache(maxsize=32)(self._build_encode)
         self._decode_fn = functools.lru_cache(maxsize=32)(self._build_decode)
         self._arrays_fn = functools.lru_cache(maxsize=32)(self._build_arrays)
@@ -236,13 +263,36 @@ class Engine:
         block_bits[patch] = new_bits
         return words, block_bits
 
+    def _pallas_compatible(self, image: np.ndarray) -> bool:
+        h, w = image.shape
+        nb = -(-h // 8) * -(-w // 8)
+        return (
+            self._use_pallas
+            and nb % 8 == 0
+            and nb >= 8
+            and h * w <= self._PALLAS_MAX_PIXELS
+        )
+
     def compress(
         self, image: np.ndarray, quality: int = 50,
         auto_table: bool = False, block_index: bool = False,
     ) -> bytes:
         image = np.asarray(image)
         if auto_table:
+            if block_index:
+                raise ValueError(
+                    "block_index is a standard-table-only feature "
+                    "(docs/FORMAT.md)"
+                )
             return self._compress_auto_table(image, quality)
+        if self._pallas_compatible(image):
+            from .pallas_pipeline import compress_batch_pallas
+
+            return compress_batch_pallas(
+                image[None], quality, precision=self.precision,
+                block_index=block_index,
+                interpret=self._pallas_interpret,
+            )[0]
         words, block_bits = self.encode_to_words(image, quality)
         arrays = CodecArrays(
             height=image.shape[0],
@@ -337,14 +387,14 @@ class Engine:
             # entropy layout is standard-range, so emit via the host
             # container path with the extended dynamic tables --
             # same canonical builder, same bytes as container.compress.
-            return container.compress_arrays(arrays, True)
+            return container.compress_arrays(arrays, True, spec=spec)
         words, block_bits, overflow = self._entropy_custom(
             dc, ac, *spec.device_tables()
         )
         if bool(overflow):
             # custom table exceeded the device layout's capacity bounds
             # (needs >64-bit slot payloads); rare -- same-bytes host path.
-            return container.compress_arrays(arrays, True)
+            return container.compress_arrays(arrays, True, spec=spec)
         words = np.asarray(words)
         block_bits = np.asarray(block_bits)
         writer = BitWriter()

@@ -62,15 +62,26 @@ class CorpusEncodeJob:
     def _encode_batch(self, batch: list[np.ndarray]) -> list[bytes] | None:
         """Encode a same-shaped batch through the data-parallel pipeline
         (one SPMD dispatch instead of per-image syncs); None = use the
-        per-image fallback."""
+        per-image fallback.
+
+        Single-device: the public batch API (fused pallas kernels on
+        TPU).  Multi-device mesh: the sharded XLA pipeline."""
         if self.backend == "host":
             return None
         try:
             from .parallel import make_mesh
-            from .parallel.batch import compress_batch
 
             if self._mesh is None:
                 self._mesh = make_mesh()
+            if self._mesh.devices.size == 1:
+                from . import api
+
+                return api.compress_batch(
+                    np.stack(batch), quality=self.quality,
+                    backend=self.backend,
+                )
+            from .parallel.batch import compress_batch
+
             return compress_batch(
                 np.stack(batch), quality=self.quality, mesh=self._mesh
             )

@@ -11,6 +11,20 @@
  * coefficients scaled by 64*s_i*s_j (= the AAN_SCALES table) relative to
  * the orthonormal DCT; quantization divides by QUANT[i] << qfactor, so the
  * decoder reconstructs with quality-50 tables after descaling.
+ *
+ * DECISION RECORD -- quantizer rounding (SURVEY quirk 2.5-12): the
+ * reference C encoder's rounding offset is always QUANT[i]>>1
+ * (reference c/img.c:197) even when the effective divisor is
+ * QUANT[i]<<qfactor, i.e. for qfactor>0 it rounds at 1/2^(qfactor+1)
+ * instead of 1/2 -- a deliberate approximation there to keep one table.
+ * We round with half of the EFFECTIVE divisor ((QUANT<<qfactor)>>1,
+ * below), i.e. true round-half-away.  Measured rate/distortion shift on
+ * Lenna vs the reference binary (best/high/med/low): CR 3.31/4.66/6.72/
+ * 10.17 vs 3.26/5.13/8.10/12.99; PSNR 40.42/38.85/37.38/35.83 dB vs
+ * 40.45/38.33/36.45/34.60 dB -- we trade ~10-25% compression ratio at
+ * qfactor>0 for +0.5..+1.2 dB fidelity.  Identical at qfactor=0.
+ * Quantified parity is pinned by tests/test_embedded.py
+ * (test_embedded_rd_parity_vs_reference_published).
  */
 
 #include <stdint.h>

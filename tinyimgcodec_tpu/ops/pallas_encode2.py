@@ -58,7 +58,12 @@ BLOCK_WORDS = entropy_ops.BLOCK_WORDS  # 52
 SLOTS = 65  # DC + 63 AC + EOB
 SROWS = 72  # slot scratch rows (SLOTS rounded up to a sublane multiple)
 ROW_WORDS = 56  # pre-shifted stream words per block (52 + spill + pad)
-EMIT_UNROLL = 5  # slots per fori_loop iteration (65 = 13 * 5)
+# Slots per emit iteration.  The emit loop's trip count is DYNAMIC:
+# slots past the tile's last nonzero coefficient carry no payload, so
+# the loop stops at ceil((last_nz + 2) / EMIT_UNROLL) and EOB (slot 64)
+# is placed by one static step -- typically ~4 iterations instead of
+# the full 64/EMIT_UNROLL at quality 50.
+EMIT_UNROLL = 8  # must divide SLOTS - 1 (the 64 non-EOB slots)
 
 
 def _u32_perm() -> np.ndarray:
@@ -256,31 +261,40 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool,
         sub56 = jax.lax.broadcasted_iota(jnp.int32, (ROW_WORDS, bt), 0)
         shblk = off & 31  # (1, bt): block's bit phase within its word
 
+        def place(k, acc):
+            w0 = sw0_ref[pl.ds(k, 1), :]
+            w1 = sw1_ref[pl.ds(k, 1), :]
+            so = soff_ref[pl.ds(k, 1), :] + shblk
+            sh = (so & 31).astype(jnp.uint32)
+            nsh = ((32 - (so & 31)) & 31).astype(jnp.uint32)
+            has = (so & 31) > 0
+            c0 = w0 >> sh
+            c1 = jnp.where(has, w0 << nsh, jnp.uint32(0)) | (w1 >> sh)
+            c2 = jnp.where(has, w1 << nsh, jnp.uint32(0))
+            tgt = so >> 5  # (1, bt)
+            return (
+                acc
+                | jnp.where(sub56 == tgt, c0, jnp.uint32(0))
+                | jnp.where(sub56 == tgt + 1, c1, jnp.uint32(0))
+                | jnp.where(sub56 == tgt + 2, c2, jnp.uint32(0))
+            )
+
         def emit(i, acc):
             for j in range(EMIT_UNROLL):
-                k = i * EMIT_UNROLL + j
-                w0 = sw0_ref[pl.ds(k, 1), :]
-                w1 = sw1_ref[pl.ds(k, 1), :]
-                so = soff_ref[pl.ds(k, 1), :] + shblk
-                sh = (so & 31).astype(jnp.uint32)
-                nsh = ((32 - (so & 31)) & 31).astype(jnp.uint32)
-                has = (so & 31) > 0
-                c0 = w0 >> sh
-                c1 = jnp.where(has, w0 << nsh, jnp.uint32(0)) | (w1 >> sh)
-                c2 = jnp.where(has, w1 << nsh, jnp.uint32(0))
-                tgt = so >> 5  # (1, bt)
-                acc = (
-                    acc
-                    | jnp.where(sub56 == tgt, c0, jnp.uint32(0))
-                    | jnp.where(sub56 == tgt + 1, c1, jnp.uint32(0))
-                    | jnp.where(sub56 == tgt + 2, c2, jnp.uint32(0))
-                )
+                acc = place(i * EMIT_UNROLL + j, acc)
             return acc
 
+        # dynamic trip count: slots past the tile's last nonzero AC
+        # coefficient have zero payload rows, so the loop stops there
+        # (~4 iterations at quality 50 instead of 64/EMIT_UNROLL); EOB
+        # (slot 64, always present) is placed by one static step.
+        last = jnp.max(jnp.where(nzm, posr, -1))
+        nit = (last + 2 + EMIT_UNROLL - 1) // EMIT_UNROLL
         acc = jax.lax.fori_loop(
-            0, SLOTS // EMIT_UNROLL, emit,
+            0, nit, emit,
             jnp.zeros((ROW_WORDS, bt), jnp.uint32),
         )
+        acc = place(SLOTS - 1, acc)  # EOB
 
         out_ref[...] = acc.T
         meta_ref[...] = jnp.concatenate(
@@ -295,7 +309,7 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool,
 def _build_call(quality: int, nb: int, bt: int, n: int,
                 interpret: bool, from_zz: bool, img_w: int = 0,
                 from_u32: bool = False):
-    assert SLOTS % EMIT_UNROLL == 0
+    assert (SLOTS - 1) % EMIT_UNROLL == 0  # EOB is placed statically
     kernel = _make_kernel(quality, nb, bt, from_zz, img_w, from_u32)
     if from_u32:
         in_dtype = jnp.uint32

@@ -126,10 +126,12 @@ def _build_exact_stage1(b: int, h: int, w: int, quality: int, bt: int,
 
 @functools.cache
 def _build_exact_stage2(b: int, h: int, w: int, quality: int,
-                        cap_words: int, bt: int, interpret: bool):
+                        cap_words: int, bt: int, interpret: bool,
+                        with_meta: bool = False):
     """Stage 2: entropy-code and assemble the (float64-certified)
     coefficients on device.  Keyed on cap_words — the only stage a
-    capacity retry rebuilds."""
+    capacity retry rebuilds.  with_meta additionally returns the
+    per-block global bit offsets (for the TICX index)."""
     ensure_cache()
     nb = (h // 8) * (w // 8)
     from .ops.pallas_encode2 import encode_pallas2
@@ -145,6 +147,8 @@ def _build_exact_stage2(b: int, h: int, w: int, quality: int,
             interpret=interpret,
         )
         status = jnp.where(cap_over, 2, 0) | jnp.where(overflow, 4, 0)
+        if with_meta:
+            return stream, starts, total, status, meta[0]
         return stream, starts, total, status
 
     return jax.jit(stage2)
@@ -196,11 +200,18 @@ def compress_batch_pallas(
     precision: str = transform.FAST,
     version: str = "v2",
     block_index: bool = False,
+    true_shape: tuple[int, int] | None = None,
 ) -> list[bytes]:
     """(B, H, W) uint8 same-shaped images -> list of compressed bytes.
 
     Single device.  ``staged`` may carry a pre-transferred device array to
     keep the host link out of hot loops.
+
+    Odd-shaped images are reflect-padded to block multiples for the
+    kernels, but the header records the TRUE dimensions and decoders
+    crop back -- the reference's crop contract (codec.py:69,
+    utils.py:56-61).  ``true_shape`` supplies those dimensions when the
+    input arrives pre-padded (``staged`` or an already-padded array).
 
     precision: "fast" (f32 transform; rate/distortion-equivalent to the
     reference but isolated rounding ties may flip) or "exact" —
@@ -217,8 +228,12 @@ def compress_batch_pallas(
     if staged is not None:
         dev_images = staged
         b, h, w = dev_images.shape if images is None else images.shape
+        th, tw = true_shape if true_shape is not None else (h, w)
     else:
         images = np.ascontiguousarray(np.asarray(images), dtype=np.uint8)
+        b, th, tw = images.shape
+        if true_shape is not None:
+            th, tw = true_shape
         if images.shape[1] % 8 or images.shape[2] % 8:
             images = transform.pad_to_blocks(images)
         dev_images = images
@@ -232,8 +247,8 @@ def compress_batch_pallas(
             raise ValueError(f"total blocks {n} not tileable")
     cap_words = -(-int(b * h * w * bits_per_pixel_budget) // 32)
 
-    if block_index and (precision == transform.EXACT or version != "v2"):
-        raise ValueError("block_index requires fast precision + v2")
+    if block_index and precision != transform.EXACT and version != "v2":
+        raise ValueError("block_index requires the v2 kernels")
 
     if precision == transform.EXACT:
         # staged path: host fixup of rounding-tie blocks makes the
@@ -245,7 +260,8 @@ def compress_batch_pallas(
 
         def run(cap):
             s2 = _build_exact_stage2(
-                b, h, w, int(quality), cap, bt, interpret
+                b, h, w, int(quality), cap, bt, interpret,
+                with_meta=block_index,
             )
             return jax.device_get(s2(zz_cm))
     else:
@@ -282,7 +298,7 @@ def compress_batch_pallas(
 
     header = container.make_header(
         CodecArrays(
-            height=h, width=w, quality=quality,
+            height=th, width=tw, quality=quality,
             dc=np.empty(0, np.int32), ac=np.empty((0, 63), np.int32),
         )
     )

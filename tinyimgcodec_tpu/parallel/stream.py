@@ -23,17 +23,30 @@ from ..ops import transform
 
 
 def _chunked(images: Iterable[np.ndarray], n: int):
+    """Yield (padded-image list, true (H, W)) chunks.
+
+    Images are reflect-padded to block multiples for the kernels, but
+    their TRUE dimensions ride along so the stream headers preserve the
+    reference's crop contract (codec.py:69, utils.py:56-61)."""
     buf: list[np.ndarray] = []
+    shape: tuple[int, int] | None = None
     for im in images:
         im = np.ascontiguousarray(np.asarray(im), dtype=np.uint8)
+        if shape is None:
+            shape = im.shape
+        elif im.shape != shape:
+            raise ValueError(
+                f"stream images must share one shape: {im.shape} "
+                f"vs {shape}"
+            )
         if im.shape[0] % 8 or im.shape[1] % 8:
             im = transform.pad_to_blocks(im)
         buf.append(im)
         if len(buf) == n:
-            yield buf
+            yield buf, shape
             buf = []
     if buf:
-        yield buf
+        yield buf, shape
 
 
 def compress_stream(
@@ -57,24 +70,15 @@ def compress_stream(
 
     from ..pallas_pipeline import compress_batch_pallas
 
-    def encode(staged, count: int) -> list[bytes]:
+    def encode(staged, count: int, true_shape) -> list[bytes]:
         out = compress_batch_pallas(
             None, quality=quality, staged=staged, precision=precision,
-            bt=bt, interpret=interpret,
+            bt=bt, interpret=interpret, true_shape=true_shape,
         )
         return out[:count]
 
-    prev: tuple[object, int] | None = None
-    shape: tuple[int, int] | None = None
-    for batch in _chunked(images, chunk):
-        if shape is None:
-            shape = batch[0].shape
-        for im in batch:
-            if im.shape != shape:
-                raise ValueError(
-                    f"stream images must share one shape: {im.shape} "
-                    f"vs {shape}"
-                )
+    prev: tuple[object, int, tuple[int, int]] | None = None
+    for batch, true_shape in _chunked(images, chunk):
         count = len(batch)
         if count < chunk:
             batch = batch + [batch[-1]] * (chunk - count)
@@ -82,6 +86,6 @@ def compress_stream(
         if prev is not None:
             # device encodes the previous chunk while this transfer runs
             yield from encode(*prev)
-        prev = (staged, count)
+        prev = (staged, count, true_shape)
     if prev is not None:
         yield from encode(*prev)
