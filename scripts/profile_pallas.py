@@ -3,7 +3,11 @@
 
 Each stage runs k data-dependent iterations inside one jitted fori_loop
 (the same anti-hoisting discipline as bench.py::bench_device) so tunnel
-dispatch latency stays out of the numbers.  Prints ms per corpus pass
+dispatch latency stays out of the numbers.  Default k=100: each blocking
+device_get costs ~26 ms through this tunnel, so small k inflates every
+per-iteration number by ~26/k ms (the round-2 "blockify costs 2.4 ms"
+conclusion was exactly this artifact -- the u32 blockify is in fact
+nearly free).  Prints ms per corpus pass
 and MP/s per stage: blockify_u32, encode kernel, placement, and the
 fused whole.
 """
@@ -29,7 +33,7 @@ def main():
     from tinyimgcodec_tpu.xla_cache import ensure_cache
 
     ensure_cache()
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     bt = 1024
     quality = 50
 

@@ -121,6 +121,17 @@ def test_api_compress_batch_matches_container():
         assert data == container.compress(img, 50)
 
 
+def test_api_decompress_batch_roundtrip():
+    imgs = np.stack([synthetic_image(60, 52, seed=s) for s in (41, 42)])
+    streams = api.compress_batch(imgs, quality=50, precision="exact")
+    out = api.decompress_batch(streams)
+    ref = np.stack([container.decompress(s) for s in streams])
+    assert out.shape == (2, 60, 52)
+    assert np.array_equal(out, ref)
+    host = api.decompress_batch(streams, backend="host")
+    assert np.array_equal(host, ref)
+
+
 def test_api_compress_batch_host_backend():
     imgs = np.stack([synthetic_image(24, 24, seed=s) for s in (33, 34)])
     out = api.compress_batch(imgs, quality=50, backend="host")

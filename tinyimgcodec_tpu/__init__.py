@@ -36,7 +36,7 @@ from .constants import (
 from .golden import CodecArrays
 from .golden import decode_arrays as decode
 from .golden import encode_arrays as encode
-from .api import compress, compress_batch, decompress
+from .api import compress, compress_batch, decompress, decompress_batch
 
 __version__ = "0.1.0"
 
@@ -46,6 +46,7 @@ __all__ = [
     "compress",
     "compress_batch",
     "decompress",
+    "decompress_batch",
     "CodecArrays",
     "LUMINANCE_QUANTIZATION_TABLE",
     "ZIGZAG_ORDER",

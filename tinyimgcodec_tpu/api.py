@@ -189,3 +189,24 @@ def decompress(data: bytes, backend: str = "auto",
         if backend == "jax":
             raise _engine_unavailable_error()
     return container.decompress(data)
+
+
+def decompress_batch(
+    streams: list[bytes], backend: str = "auto", precision: str = "exact"
+) -> np.ndarray:
+    """Same-shaped compressed streams -> (B, H, W) uint8 images.
+
+    The batch decode entry point: entropy decode runs thread-parallel
+    through the native C LUT decoder (per stream, and index-parallel
+    within TICX-indexed streams), and ONE batched device program runs
+    the transform half for the whole batch.
+    """
+    if backend not in ("auto", "jax", "host"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend in ("auto", "jax"):
+        engine = _get_engine(precision)
+        if engine is not None:
+            return engine.decompress_batch(streams)
+        if backend == "jax":
+            raise _engine_unavailable_error()
+    return np.stack([container.decompress(s) for s in streams])

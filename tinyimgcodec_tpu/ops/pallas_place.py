@@ -11,20 +11,27 @@ stream alignment, plus the global bit offset per block), so assembly is
 pure *word placement*: OR block row b into the stream at word
 ``offset_b >> 5``.  Two kernel generations, both tile-vectorized:
 
-**v3 (default, log masked-roll; 2.6 ms for the 49-image corpus on v5e):**
+**v3 (default, log masked-roll; ~1.9 ms for the 49-image corpus on
+v5e -- see reports/perf_breakdown_r03.md):**
 
 1. Every block row rolls to its own in-group word delta in exactly 6
    steps -- one masked lane-roll per bit of the delta (deltas <= 63).
+   The whole vector phase runs on 128-lane windows (in-group extent
+   <= 63 + 56 = 119 words), halving its VMEM traffic vs the 256-lane
+   layout; only the serial phase's roll to the group base's 127-word
+   phase widens to 256 lanes.
 2. 16-block groups collapse via a 4-step masked segmented OR.
 3. A short serial loop per group (bt/16 iterations): one dynamic roll
    to the base word's phase + a read-OR-write of two 128-word rows of
    the VMEM-resident output.  Groups spanning > 63 words fall back to
-   per-block placement.
+   per-block placement.  (Measured dead ends, kept out: wider groups
+   explode the fallback rate; pair-merged groups and a register-walk
+   flush both cost more than they save -- perf_breakdown_r03.md.)
 
-**v2 (kept for tiny tiles and comparison; 5.3 ms):** an incremental
+**v2 (kept for tiny tiles and comparison):** an incremental
 roll + compare-select chain that walks every possible delta (16 steps
 always, 32 more when a tile's max group span needs them) over 8-block
-groups -- 6x more VMEM traffic in the vector phase and twice the
+groups -- more VMEM traffic in the vector phase and twice the
 serial RMW iterations.
 
 No serial bit state survives anywhere: grid steps carry nothing, every
@@ -219,11 +226,17 @@ def _make_kernel_v3(bt: int, cap_rows: int):
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
+        # the whole vector phase fits a 128-lane window: in-group delta
+        # (<= SPAN3 = 63) + block row (56 words) extends to <= 119 < 128,
+        # so the rolls/segmented ORs stream half the VMEM of a 256-lane
+        # layout; only the serial phase's final roll to the group base's
+        # 127-word phase needs the 256-lane window (built per group).
         rows = jnp.concatenate(
-            [rows_ref[...], jnp.zeros((bt, W3 - ROW_WORDS), jnp.uint32)],
+            [rows_ref[...],
+             jnp.zeros((bt, OUT_COLS - ROW_WORDS), jnp.uint32)],
             axis=1,
-        )  # (bt, 256)
-        dmat = jnp.broadcast_to(drel_ref[...].T, (bt, W3))
+        )  # (bt, 128)
+        dmat = jnp.broadcast_to(drel_ref[...].T, (bt, OUT_COLS))
 
         r = rows
         for k in (1, 2, 4, 8, 16, 32):  # per-row roll by delta's bits
@@ -231,7 +244,7 @@ def _make_kernel_v3(bt: int, cap_rows: int):
             r = jnp.where((dmat & k) != 0, rolled, r)
 
         # segmented OR over each group's 16 sublanes into sublane 16g
-        sub = jax.lax.broadcasted_iota(jnp.int32, (bt, W3), 0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (bt, OUT_COLS), 0)
         for d in (8, 4, 2, 1):
             shifted = pltpu.roll(r, bt - d, 0)  # row i+d -> i
             r = r | jnp.where(
@@ -253,6 +266,8 @@ def _make_kernel_v3(bt: int, cap_rows: int):
             dq = w & 127
             rmw(q, pltpu.roll(row256, dq, 1))
 
+        zpad = jnp.zeros((1, OUT_COLS), jnp.uint32)
+
         def group_body(g, carry):
             # group span = last block's word delta (w is in SMEM: two
             # scalar reads beat a lane-padded span input, which Mosaic
@@ -262,7 +277,10 @@ def _make_kernel_v3(bt: int, cap_rows: int):
 
             @pl.when(span <= SPAN3)
             def _():
-                place_row(acc_ref[pl.ds(g * GROUP3, 1), :], base)
+                win = jnp.concatenate(
+                    [acc_ref[pl.ds(g * GROUP3, 1), :], zpad], axis=1
+                )  # (1, 256)
+                place_row(win, base)
 
             @pl.when(span > SPAN3)
             def _():
@@ -301,7 +319,7 @@ def _build_v3(bt: int, n: int, cap_rows: int, interpret: bool):
         ],
         out_specs=pl.BlockSpec((cap_rows, OUT_COLS), lambda t: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((bt, W3), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((bt, OUT_COLS), jnp.uint32)],
     )
     params = None if interpret else pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),
