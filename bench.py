@@ -86,12 +86,11 @@ def bench_device(images, quality, precision, k=100, bt=1024):
         def step(im):
             if precision == "exact":
                 from tinyimgcodec_tpu.ops.pallas_exact import (
-                    exact_transform_pallas_cm,
+                    exact_transform_pallas_u32,
                 )
 
-                blocks = transform.blockify(im).reshape(n, 64)
-                zz_cm = exact_transform_pallas_cm(
-                    blocks.astype(jnp.int32).T, quality, bt=min(bt, 512)
+                zz_cm = exact_transform_pallas_u32(
+                    transform.blockify_u32(im), quality, bt=min(bt, 512)
                 )
                 packed, meta, _ = encode_pallas2(
                     zz_cm, quality, nb=nb, bt=bt, from_zz=True

@@ -32,7 +32,7 @@ from .transform import dct_basis
 
 
 def _make_kernel(quality: int, bt: int, interpret: bool,
-                 with_flags: bool = False):
+                 with_flags: bool = False, from_u32: bool = False):
     d64 = dct_basis()  # (8, 8) float64
     dh, dl = df32.split_hi_lo(d64)
     recip = 1.0 / quant_divisors(quality)  # (8, 8) float64
@@ -40,17 +40,40 @@ def _make_kernel(quality: int, bt: int, interpret: bool,
     # zigzag as a static row permutation of the row-major (u*8+v) order
     zz_rows = [int(p) for p in ZIGZAG_ORDER]
 
-    def kernel(x_ref, tab_ref, out_ref, *flag_ref):
+    def kernel(x_ref, tab_ref, *rest):
         # Mosaic cannot lower optimization_barrier and does not need it
         # (strict IEEE lowering, no reassociation/FMA contraction); the
         # interpret path runs through XLA and keeps the barriers.
         with df32.barrier_free() if not interpret else _nullcontext():
-            _kernel_body(x_ref, tab_ref, out_ref, *flag_ref)
+            _kernel_body(x_ref, tab_ref, *rest)
 
-    def _kernel_body(x_ref, tab_ref, out_ref, flag_ref=None):
+    def _kernel_body(x_ref, tab_ref, *rest):
+        if from_u32:
+            perm_ref, out_ref, *flag_rest = rest
+        else:
+            out_ref, *flag_rest = rest
+        flag_ref = flag_rest[0] if flag_rest else None
         # tab: (4, 8, 8) = [basis hi, basis lo, recip hi, recip lo]
         tab = tab_ref[...]
-        x = x_ref[...].astype(jnp.float32) - 128.0  # (64, BT), exact
+        if from_u32:
+            # word-packed blocks (bt, 16): expand bytes across lanes
+            # (same scheme as ops/pallas_encode2), then restore natural
+            # pixel order with one EXACT 0/1 matmul (single term per
+            # output, pixel values <= 255 -- no rounding) and transpose
+            # to coefficient-major.  Skips the XLA u8-blockify + big
+            # (N, 64) -> (64, N) int transpose on the host side.
+            x32 = x_ref[...]  # (bt, 16) uint32
+            xt = pltpu.repeat(x32, 4, 1)  # (bt, 64) lane-tiled
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bt, 64), 1)
+            sh = ((lane // 16) * 8).astype(jnp.uint32)
+            xp = ((xt >> sh) & jnp.uint32(0xFF)).astype(
+                jnp.int32
+            ).astype(jnp.float32)
+            xn = jnp.dot(xp, perm_ref[...],
+                         preferred_element_type=jnp.float32)
+            x = xn.T - 128.0  # (64, bt), exact
+        else:
+            x = x_ref[...].astype(jnp.float32) - 128.0  # (64, BT), exact
 
         # ---- stage 1: Y_j[u, :] = sum_i D[u, i] * X[i*8+j, :] ----------
         y = []  # 8 double-float (8, BT) arrays indexed by j
@@ -125,8 +148,8 @@ class _nullcontext:
 
 @functools.cache
 def _build(quality: int, bt: int, n: int, interpret: bool,
-           with_flags: bool = False):
-    kernel = _make_kernel(quality, bt, interpret, with_flags)
+           with_flags: bool = False, from_u32: bool = False):
+    kernel = _make_kernel(quality, bt, interpret, with_flags, from_u32)
     out_specs = pl.BlockSpec((64, bt), lambda t: (0, t),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((64, n), jnp.int32)
@@ -140,14 +163,25 @@ def _build(quality: int, bt: int, n: int, interpret: bool,
             out_shape,
             jax.ShapeDtypeStruct((1, n), jnp.int32),
         ]
-    grid_spec = pl.GridSpec(
-        grid=(n // bt,),
-        in_specs=[
+    if from_u32:
+        in_specs = [
+            pl.BlockSpec((bt, 16), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 8, 8), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        in_specs = [
             pl.BlockSpec((64, bt), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, 8, 8), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+    grid_spec = pl.GridSpec(
+        grid=(n // bt,),
+        in_specs=in_specs,
         out_specs=out_specs,
     )
     d64 = dct_basis()
@@ -156,6 +190,21 @@ def _build(quality: int, bt: int, n: int, interpret: bool,
     # numpy until call time: a jnp constant created during one jit trace
     # would leak that trace's tracer into later traces via the cache
     tab_np = np.stack([dh, dl, rh, rl]).astype(np.float32)
+    if from_u32:
+        from .pallas_encode2 import _u32_perm
+
+        perm_np = np.zeros((64, 64), np.float32)
+        perm_np[np.arange(64), _u32_perm()] = 1.0
+
+        def call(x32):  # (N, 16) uint32 word-packed blocks
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(x32, jnp.asarray(tab_np), jnp.asarray(perm_np))
+
+        return call
 
     def call(x_cm):  # (64, N) int32 coefficient-major pixels
         return pl.pallas_call(
@@ -199,3 +248,28 @@ def exact_transform_pallas_cm(
         raise ValueError(f"N={n} not a multiple of tile {bt}")
     call = _build(int(quality), int(bt), n, interpret, with_flags)
     return call(x_cm.astype(jnp.int32))
+
+
+def exact_transform_pallas_u32(
+    x32: jnp.ndarray, quality: int, bt: int = 512,
+    interpret: bool = False, with_flags: bool = False,
+):
+    """(N, 16) uint32 word-packed blocks (transform.blockify_u32) ->
+    (64, N) int32 quantized zig-zag coefficients, double-float rounding.
+
+    Same math and outputs as :func:`exact_transform_pallas_cm`; the
+    byte expansion + exact un-permutation + transpose run in-kernel, so
+    the caller skips the XLA u8 blockify and the (N, 64) -> (64, N)
+    int transpose.  Measured on v5e: the skipped XLA prep is ~0.55 ms
+    per corpus pass but the in-kernel replacement (expand + exact 0/1
+    permute matmul + in-VMEM transpose) costs most of it back -- net
+    ~neutral end-to-end (1881 -> 1895 MP/s); kept because it also
+    removes the prep from sharded (shard_map) bodies and halves the
+    kernel's input DMA (u32 words vs widened int32).
+    """
+    n = x32.shape[0]
+    if n % bt:
+        raise ValueError(f"N={n} not a multiple of tile {bt}")
+    call = _build(int(quality), int(bt), n, interpret, with_flags,
+                  from_u32=True)
+    return call(x32)

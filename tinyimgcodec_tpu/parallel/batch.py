@@ -271,14 +271,26 @@ def _build_pallas_exact_stage1(mesh_key, quality: int, nb: int,
     axis = mesh.axis_names[0]
     n_local = b_local * nb
 
-    from ..ops.pallas_exact import exact_transform_pallas_cm
+    from ..ops.pallas_exact import (
+        exact_transform_pallas_cm,
+        exact_transform_pallas_u32,
+    )
 
     def body(images_local):  # (b_local, H, W) uint8
-        blocks = transform.blockify(images_local).reshape(n_local, 64)
-        zz_cm, flags = exact_transform_pallas_cm(
-            blocks.astype(jnp.int32).T, quality, bt=min(bt, 512),
-            interpret=interpret, with_flags=True,
-        )
+        w = images_local.shape[-1]
+        if w % 4 == 0:
+            zz_cm, flags = exact_transform_pallas_u32(
+                transform.blockify_u32(images_local), quality,
+                bt=min(bt, 512), interpret=interpret, with_flags=True,
+            )
+        else:
+            blocks = transform.blockify(images_local).reshape(
+                n_local, 64
+            )
+            zz_cm, flags = exact_transform_pallas_cm(
+                blocks.astype(jnp.int32).T, quality, bt=min(bt, 512),
+                interpret=interpret, with_flags=True,
+            )
         return (
             zz_cm.reshape(1, 64, n_local),
             flags.reshape(1, n_local),
