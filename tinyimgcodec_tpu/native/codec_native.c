@@ -74,25 +74,46 @@ static inline uint32_t br_peek16(const BitReader *br) {
     /* 16 bits starting at pos, zero-padded past the end */
     long byte = br->pos >> 3;
     int shift = (int)(br->pos & 7);
-    uint32_t v = 0;
-    for (int k = 0; k < 3; k++) {
-        long idx = byte + k;
-        uint8_t b = idx < br->nbytes ? br->data[idx] : 0;
-        v = (v << 8) | b;
+    uint32_t v;
+    if (byte + 3 <= br->nbytes) {
+        v = ((uint32_t)br->data[byte] << 16) |
+            ((uint32_t)br->data[byte + 1] << 8) |
+            (uint32_t)br->data[byte + 2];
+    } else {
+        v = 0;
+        for (int k = 0; k < 3; k++) {
+            long idx = byte + k;
+            uint8_t b = idx < br->nbytes ? br->data[idx] : 0;
+            v = (v << 8) | b;
+        }
     }
     return (v >> (8 - shift)) & 0xFFFF;
 }
 
 static inline int32_t br_read_signed(BitReader *br, int size) {
     /* JPEG signed magnitude: leading 1 -> positive; else one's
-     * complement negative (reference bitbuffer.py:56-66). */
+     * complement negative (reference bitbuffer.py:56-66).  One 4-byte
+     * window load instead of a bit-at-a-time loop: size <= 16 and the
+     * bit phase <= 7, so the field always fits 32 loaded bits. */
     if (size == 0) return 0;
     if (br->pos + size > br->nbits) { br->pos = br->nbits + 1; return 0; }
-    uint32_t raw = 0;
-    for (int k = 0; k < size; k++) {
-        long p = br->pos + k;
-        raw = (raw << 1) | ((br->data[p >> 3] >> (7 - (p & 7))) & 1);
+    long byte = br->pos >> 3;
+    int shift = (int)(br->pos & 7);
+    uint32_t v;
+    if (byte + 4 <= br->nbytes) {
+        v = ((uint32_t)br->data[byte] << 24) |
+            ((uint32_t)br->data[byte + 1] << 16) |
+            ((uint32_t)br->data[byte + 2] << 8) |
+            (uint32_t)br->data[byte + 3];
+    } else {
+        v = 0;
+        for (int k = 0; k < 4; k++) {
+            long idx = byte + k;
+            uint8_t b = idx < br->nbytes ? br->data[idx] : 0;
+            v = (v << 8) | b;
+        }
     }
+    uint32_t raw = (uint32_t)((v << shift) >> (32 - size));
     br->pos += size;
     if (raw >> (size - 1)) return (int32_t)raw;
     return -(int32_t)((~raw) & ((1u << size) - 1));

@@ -64,6 +64,7 @@ ROW_WORDS = 56  # pre-shifted stream words per block (52 + spill + pad)
 # is placed by one static step -- typically ~4 iterations instead of
 # the full 64/EMIT_UNROLL at quality 50.
 EMIT_UNROLL = 8  # must divide SLOTS - 1 (the 64 non-EOB slots)
+EMIT_CHUNK = 8   # accumulator band rows; must divide ROW_WORDS
 
 
 def _u32_perm() -> np.ndarray:
@@ -258,10 +259,21 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool,
         carry_ref[1] = carry_ref[1] + jnp.sum(blk_bits) + delta
 
         # ---- per-block packing: rolled emit loop, globally aligned -----
-        sub56 = jax.lax.broadcasted_iota(jnp.int32, (ROW_WORDS, bt), 0)
         shblk = off & 31  # (1, bt): block's bit phase within its word
 
-        def place(k, acc):
+        # The accumulator is chunked into CHW-row bands, each updated
+        # only when an iteration's slot targets can fall inside it.
+        # Targets are block-LOCAL word offsets (tgt = slot bit offset
+        # within the block's own payload >> 5), so a typical q=50 block
+        # (~40-300 bits) touches rows 0..2-10 of the 56-row layout --
+        # the upper bands exist for the worst legal block (1662 bits)
+        # and are dead almost always.  Per-iteration scalar bounds from
+        # the monotone slot-offset cumsum gate each band with lax.cond.
+        CHW = EMIT_CHUNK
+        NCH = ROW_WORDS // CHW
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (CHW, bt), 0)
+
+        def slot_parts(k):
             w0 = sw0_ref[pl.ds(k, 1), :]
             w1 = sw1_ref[pl.ds(k, 1), :]
             so = soff_ref[pl.ds(k, 1), :] + shblk
@@ -272,17 +284,45 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool,
             c1 = jnp.where(has, w0 << nsh, jnp.uint32(0)) | (w1 >> sh)
             c2 = jnp.where(has, w1 << nsh, jnp.uint32(0))
             tgt = so >> 5  # (1, bt)
-            return (
-                acc
-                | jnp.where(sub56 == tgt, c0, jnp.uint32(0))
-                | jnp.where(sub56 == tgt + 1, c1, jnp.uint32(0))
-                | jnp.where(sub56 == tgt + 2, c2, jnp.uint32(0))
-            )
+            return c0, c1, c2, tgt
 
-        def emit(i, acc):
-            for j in range(EMIT_UNROLL):
-                acc = place(i * EMIT_UNROLL + j, acc)
-            return acc
+        def chunk_update(parts, accs, lo, hi):
+            """OR slot contributions into the bands [lo, hi) overlap."""
+            out = []
+            for c in range(NCH):
+                active = (hi >= c * CHW) & (lo < (c + 1) * CHW)
+
+                def upd(acc_c=accs[c], base=c * CHW):
+                    a = acc_c
+                    for c0, c1, c2, tgt in parts:
+                        rel = tgt - base
+                        a = (
+                            a
+                            | jnp.where(sub8 == rel, c0, jnp.uint32(0))
+                            | jnp.where(sub8 == rel + 1, c1,
+                                        jnp.uint32(0))
+                            | jnp.where(sub8 == rel + 2, c2,
+                                        jnp.uint32(0))
+                        )
+                    return a
+
+                out.append(jax.lax.cond(
+                    active, upd, lambda acc_c=accs[c]: acc_c
+                ))
+            return tuple(out)
+
+        def emit(i, accs):
+            k0 = i * EMIT_UNROLL
+            parts = [slot_parts(k0 + j) for j in range(EMIT_UNROLL)]
+            # scalar row bounds for this iteration's slots: soff is
+            # monotone over slots, so rows span [min tgt(k0),
+            # max tgt(k0 + EU - 1) + 2] across all lanes
+            lo = jnp.min(soff_ref[pl.ds(k0, 1), :] + shblk) >> 5
+            hi = (
+                jnp.max(soff_ref[pl.ds(k0 + EMIT_UNROLL, 1), :] + shblk)
+                >> 5
+            ) + 2
+            return chunk_update(parts, accs, lo, hi)
 
         # dynamic trip count: slots past the tile's last nonzero AC
         # coefficient have zero payload rows, so the loop stops there
@@ -290,11 +330,19 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool,
         # (slot 64, always present) is placed by one static step.
         last = jnp.max(jnp.where(nzm, posr, -1))
         nit = (last + 2 + EMIT_UNROLL - 1) // EMIT_UNROLL
-        acc = jax.lax.fori_loop(
+        accs = jax.lax.fori_loop(
             0, nit, emit,
-            jnp.zeros((ROW_WORDS, bt), jnp.uint32),
+            tuple(
+                jnp.zeros((CHW, bt), jnp.uint32) for _ in range(NCH)
+            ),
         )
-        acc = place(SLOTS - 1, acc)  # EOB
+        eob = slot_parts(SLOTS - 1)
+        lo = jnp.min(soff_ref[pl.ds(SLOTS - 1, 1), :] + shblk) >> 5
+        hi = (
+            jnp.max(soff_ref[pl.ds(SLOTS - 1, 1), :] + shblk) >> 5
+        ) + 2
+        accs = chunk_update([eob], accs, lo, hi)
+        acc = jnp.concatenate(list(accs), axis=0)
 
         out_ref[...] = acc.T
         meta_ref[...] = jnp.concatenate(
