@@ -61,10 +61,14 @@ ROW_WORDS = 56  # pre-shifted stream words per block (52 + spill + pad)
 # Slots per emit iteration.  The emit loop's trip count is DYNAMIC:
 # slots past the tile's last nonzero coefficient carry no payload, so
 # the loop stops at ceil((last_nz + 2) / EMIT_UNROLL) and EOB (slot 64)
-# is placed by one static step -- typically ~4 iterations instead of
-# the full 64/EMIT_UNROLL at quality 50.
-EMIT_UNROLL = 8  # must divide SLOTS - 1 (the 64 non-EOB slots)
-EMIT_CHUNK = 8   # accumulator band rows; must divide ROW_WORDS
+# is placed by one static step -- typically ONE iteration at quality 50.
+# Measured on v5e (corpus q=50 full pipeline): EU 8/16/32/64 ->
+# 5.09/4.86/4.79/4.80 ms; wide unrolls amortize the per-iteration band
+# gating (EMIT_CHUNK below) without reviving the v1 unrolled-chain VMEM
+# stack blowup because contributions accumulate into 8-row bands.
+EMIT_UNROLL = 32  # must divide SLOTS - 1 (the 64 non-EOB slots)
+EMIT_CHUNK = 8    # accumulator band rows; must divide ROW_WORDS
+# band heights 4/14/28 measured worse (5.50/5.16/5.43 ms at EU=8)
 
 
 def _u32_perm() -> np.ndarray:
