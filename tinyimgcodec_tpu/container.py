@@ -253,12 +253,20 @@ def _read_code(reader: BitReader, inverse: dict[str, object]):
     raise ValueError("invalid Huffman code")
 
 
-def decompress_to_arrays(data: bytes, use_native: bool = True) -> CodecArrays:
+def decompress_to_arrays(
+    data: bytes, use_native: bool = True,
+    index_workers: int | None = None,
+) -> CodecArrays:
     """bytes -> coefficient arrays (entropy decode only).
 
     Uses the native LUT decoder when available (O(1) per code via a
     16-bit peek table); the pure-python bit-cursor path below is the
     behavioral oracle it is tested against.
+
+    index_workers: thread count for TICX index-parallel decode (None =
+    all cores).  Callers decoding MANY streams concurrently should pass
+    1 -- nesting an index pool inside a per-stream pool oversubscribes
+    the cores and measures slower than the serial cursor.
     """
     height, width, quality, flag = parse_header(data)
     reader = BitReader(data)
@@ -299,7 +307,7 @@ def decompress_to_arrays(data: bytes, use_native: bool = True) -> CodecArrays:
                     chunk_off, stride, pay_end = idx
                     dc, ac = native.entropy_decode_indexed(
                         data[HEADER_BYTES:pay_end], nblocks,
-                        chunk_off, stride,
+                        chunk_off, stride, max_workers=index_workers,
                     )
                 else:
                     dc, ac = native.entropy_decode(

@@ -426,9 +426,15 @@ class Engine:
         if len(streams) > 1:
             workers = min(len(streams), os.cpu_count() or 1)
             with ThreadPoolExecutor(workers) as pool:
-                arrays = list(
-                    pool.map(container.decompress_to_arrays, streams)
-                )
+                arrays = list(pool.map(
+                    # per-stream threads already saturate the cores;
+                    # nesting TICX index-parallelism inside them would
+                    # oversubscribe and run SLOWER than serial cursors
+                    lambda d: container.decompress_to_arrays(
+                        d, index_workers=1
+                    ),
+                    streams,
+                ))
         else:
             arrays = [container.decompress_to_arrays(d) for d in streams]
         a0 = arrays[0]
