@@ -190,6 +190,70 @@ def bench_decode_device(dc, ac, quality, k=100):
     return b * h * w / 1e6 / dt
 
 
+def bench_decode_entropy_device(streams, k=50):
+    """Sustained on-device FULL decode rate (MP/s): TICX chunk-parallel
+    entropy decode + inverse DPCM + dequant/IDCT + untile, with the
+    compressed words resident in HBM -- the chip's decode rate with no
+    host in the loop (ops/entropy_decode.py).  Same k-loop
+    anti-hoisting discipline as bench_device."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyimgcodec_tpu.ops import transform
+    from tinyimgcodec_tpu.ops.entropy_decode import (
+        entropy_decode_chunks,
+        prepare_batch,
+    )
+
+    prep = prepare_batch(streams)
+    if prep is None:
+        raise ValueError("streams not device-decodable")
+    b = len(streams)
+    h, w, quality = prep["shape"]
+    nb = prep["nb_per_image"]
+    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+    stride = prep["stride"]
+    consts = [
+        jax.device_put(jnp.asarray(prep[key]))
+        for key in ("chunk_start", "chunk_blocks", "chunk_block_base",
+                    "chunk_end_lo", "chunk_end_hi")
+    ]
+
+    def step(words):
+        zz, ok = entropy_decode_chunks(
+            words, *consts, nb_total=b * nb, stride=stride
+        )
+        zzb = zz.reshape(b, nb, 64)
+        zz_abs = transform.undo_dpcm(zzb[..., 0], zzb[..., 1:])
+        blocks = transform.decode_blocks(zz_abs, quality, "fast")
+        imgs = transform.unblockify(blocks, h8, w8)
+        return (
+            imgs[0, 0, 0].astype(jnp.uint32)
+            + imgs[-1, -1, -1]
+            + ok[0].astype(jnp.uint32)
+        )
+
+    @jax.jit
+    def f(words):
+        def body(i, acc):
+            eps = jnp.where(
+                acc == jnp.uint32(0xFFFFFFFF), jnp.uint32(1),
+                jnp.uint32(0),
+            )
+            return acc + step(words ^ eps)
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+    dev_words = jax.device_put(jnp.asarray(prep["words"]))
+    jax.device_get(f(dev_words))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(f(dev_words))
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[1] / k
+    return b * h * w / 1e6 / dt
+
+
 def bench_mode(images, quality, precision, assemble, mesh, reps,
                staged=None):
     from tinyimgcodec_tpu.parallel.batch import compress_batch
@@ -450,6 +514,17 @@ def main():
             _persist_partial(results)
             log(f"decode/e2e-indexed: "
                 f"{results['decode/e2e-indexed']:.1f} MP/s")
+
+            # NEW (round 4): full decode on device -- TICX chunk-parallel
+            # entropy decode kernel + transform, words resident in HBM
+            # (the chip decode rate; e2e above is tunnel-bound on the
+            # ~13 MB of output pixels at ~40 MB/s)
+            results["decode/device-full"] = bench_decode_entropy_device(
+                streams_ix
+            )
+            _persist_partial(results)
+            log(f"decode/device-full: "
+                f"{results['decode/device-full']:.1f} MP/s")
 
             # serial half alone: threaded C 16-bit-peek LUT entropy decode
             from concurrent.futures import ThreadPoolExecutor

@@ -1,0 +1,186 @@
+"""Device (XLA) chunk-parallel entropy decode: parity + robustness.
+
+ops/entropy_decode.py must reproduce the host oracle's coefficients
+bit-for-bit on every valid TICX stream, and must *detect* (not
+mis-decode) corrupt ones so the engine can degrade to the host decoder
+per image (the reference's graceful-degradation contract stays with the
+host path, codec.py:178-186).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tinyimgcodec_tpu import container
+from tinyimgcodec_tpu.ops import entropy_decode as ed
+
+from conftest import synthetic_image
+
+
+def _decode_prep(prep):
+    zz, ok = jax.jit(
+        lambda w, s, b, bb, lo, hi: ed.entropy_decode_chunks(
+            w, s, b, bb, lo, hi,
+            nb_total=prep["nb_total"], stride=prep["stride"],
+        )
+    )(
+        jnp.asarray(prep["words"]),
+        jnp.asarray(prep["chunk_start"]),
+        jnp.asarray(prep["chunk_blocks"]),
+        jnp.asarray(prep["chunk_block_base"]),
+        jnp.asarray(prep["chunk_end_lo"]),
+        jnp.asarray(prep["chunk_end_hi"]),
+    )
+    return np.asarray(zz), np.asarray(ok)
+
+
+def _assert_parity(streams):
+    prep = ed.prepare_batch(streams)
+    assert prep is not None
+    zz, ok = _decode_prep(prep)
+    assert ok.all()
+    base = 0
+    for s in streams:
+        a = container.decompress_to_arrays(s)
+        nb = len(a.dc)
+        assert np.array_equal(a.dc, zz[base : base + nb, 0])
+        assert np.array_equal(a.ac, zz[base : base + nb, 1:])
+        base += nb
+
+
+@pytest.mark.parametrize("quality", [1, 10, 50, 90, 95])
+def test_device_entropy_parity_quality(quality):
+    imgs = [synthetic_image(64, 64, seed=s) for s in (1, 2)]
+    streams = [
+        container.compress(im, quality=quality, block_index=True)
+        for im in imgs
+    ]
+    _assert_parity(streams)
+
+
+def test_device_entropy_parity_adversarial_content():
+    rng = np.random.RandomState(5)
+    y, x = np.mgrid[0:64, 0:64]
+    imgs = [
+        rng.randint(0, 256, (64, 64)).astype(np.uint8),
+        ((x + y) % 2 * 255).astype(np.uint8),
+        np.zeros((64, 64), np.uint8),
+        np.full((64, 64), 255, np.uint8),
+    ]
+    streams = [
+        container.compress(im, quality=50, block_index=True)
+        for im in imgs
+    ]
+    _assert_parity(streams)
+
+
+def test_device_entropy_parity_odd_shape():
+    """Reflect-padded odd dims: header records true size, blocks cover
+    the padded grid; stride does not divide the block count evenly."""
+    img = synthetic_image(60, 52, seed=9)
+    s = container.compress(img, quality=50, block_index=True)
+    _assert_parity([s])
+
+
+def test_device_entropy_parity_small_strides():
+    """Non-default TICX strides (the trailer is self-describing)."""
+    from tinyimgcodec_tpu.engine import Engine
+
+    img = synthetic_image(64, 64, seed=4)
+    data = container.compress(img, quality=50)
+    eng = Engine("exact", use_pallas=False)
+    words, bits = eng.encode_to_words(img, 50)
+    offsets = np.cumsum(bits, dtype=np.int64) - bits
+    for stride in (8, 16, 32):
+        _assert_parity(
+            [data + container.make_block_index(offsets, stride=stride)]
+        )
+
+
+def test_device_entropy_detects_corruption():
+    """Flipping payload bytes must flip some chunk's ok flag or still
+    decode to the host oracle's coefficients (never a silent wrong
+    answer)."""
+    from tinyimgcodec_tpu.constants import HEADER_BYTES
+
+    img = synthetic_image(64, 64, seed=6)
+    good = container.compress(img, quality=50, block_index=True)
+    rng = np.random.RandomState(0)
+    nb = 64
+    for trial in range(8):
+        mut = bytearray(good)
+        idx0 = container.parse_block_index(good, nb)
+        pay_end = idx0[2]
+        for _ in range(2):
+            i = rng.randint(HEADER_BYTES, pay_end)
+            mut[i] ^= 0xFF
+        mut = bytes(mut)
+        prep = ed.prepare_batch([mut])
+        if prep is None:
+            continue  # trailer invalidated -> host path, fine
+        zz, ok = _decode_prep(prep)
+        if ok.all():
+            a = container.decompress_to_arrays(mut)
+            assert np.array_equal(a.dc, zz[:, 0])
+            assert np.array_equal(a.ac, zz[:, 1:])
+
+
+def test_engine_device_decode_end_to_end(monkeypatch):
+    """Engine.decompress_batch with the device-entropy gate forced on
+    must equal the host path pixel-for-pixel."""
+    from tinyimgcodec_tpu.engine import Engine
+
+    imgs = [synthetic_image(64, 64, seed=s) for s in (11, 12, 13)]
+    streams = [
+        container.compress(im, quality=50, block_index=True)
+        for im in imgs
+    ]
+    eng = Engine("exact", use_pallas=False)
+    eng._device_entropy = True
+    out_dev = eng.decompress_batch(streams)
+    eng._device_entropy = False
+    out_host = eng.decompress_batch(streams)
+    assert np.array_equal(out_dev, out_host)
+    # single-stream entry point
+    one_dev = None
+    eng._device_entropy = True
+    one_dev = eng.decompress(streams[0])
+    assert np.array_equal(one_dev, out_host[0])
+    # non-indexed streams silently fall back to the host path
+    plain = [container.compress(im, quality=50) for im in imgs]
+    assert np.array_equal(eng.decompress_batch(plain), out_host)
+
+
+def test_engine_device_decode_corrupt_falls_back():
+    """A corrupted indexed stream decodes identically through the
+    device path (per-image host fallback) and the host path."""
+    from tinyimgcodec_tpu.constants import HEADER_BYTES
+    from tinyimgcodec_tpu.engine import Engine
+
+    img = synthetic_image(64, 64, seed=21)
+    good = container.compress(img, quality=50, block_index=True)
+    mut = bytearray(good)
+    mut[HEADER_BYTES + 40] ^= 0xFF
+    mut = bytes(mut)
+    eng = Engine("exact", use_pallas=False)
+    eng._device_entropy = True
+    dev = eng.decompress_batch([mut, good])
+    host = np.stack(
+        [container.decompress(mut), container.decompress(good)]
+    )
+    assert np.array_equal(dev, host)
+
+
+def test_device_entropy_odd_true_dims_crop():
+    """Full engine path with odd true dims: crop contract holds."""
+    from tinyimgcodec_tpu.engine import Engine
+
+    img = synthetic_image(60, 52, seed=31)
+    s = container.compress(img, quality=50, block_index=True)
+    eng = Engine("exact", use_pallas=False)
+    eng._device_entropy = True
+    out = eng.decompress_batch([s])
+    assert out.shape == (1, 60, 52)
+    assert np.array_equal(out[0], container.decompress(s))

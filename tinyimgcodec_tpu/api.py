@@ -138,8 +138,24 @@ def compress_batch(
             images, "devices"
         ):  # jax.Array already on device (must be block-aligned)
             staged = images
+            b, h, w = staged.shape
+            if h % 8 or w % 8:
+                raise ValueError(
+                    "staged device batches must be block-aligned "
+                    f"(got {h}x{w}); pad with "
+                    "tinyimgcodec_tpu.ops.transform.pad_to_blocks or "
+                    "pass a numpy array"
+                )
+        else:
+            b, h, w = np.asarray(images).shape
         try:
-            if engine._use_pallas:
+            # same whole-stream-VMEM-residency cap as the single-image
+            # engine routing (Engine._PALLAS_MAX_PIXELS applies to the
+            # batch total here: the placement kernel keeps the batch's
+            # whole output stream VMEM-resident)
+            if engine._use_pallas and (
+                b * h * w <= engine._PALLAS_MAX_PIXELS
+            ):
                 kw = dict(
                     quality=config.quality, precision=config.precision,
                     block_index=config.block_index,
@@ -153,20 +169,10 @@ def compress_batch(
                 raise
         from .parallel.batch import compress_batch as xla_batch
 
-        out = xla_batch(
+        return xla_batch(
             np.asarray(images), quality=config.quality,
-            precision=config.precision,
+            precision=config.precision, block_index=config.block_index,
         )
-        if config.block_index:
-            # XLA fallback has no per-block offsets; re-encode per image
-            return [
-                compress(
-                    im, quality=config.quality, precision=config.precision,
-                    block_index=True,
-                )
-                for im in np.asarray(images)
-            ]
-        return out
     if backend == "jax":
         raise _engine_unavailable_error()
     return [

@@ -89,9 +89,21 @@ class Engine:
             )
         self._use_pallas = use_pallas
         self._pallas_interpret = pallas_interpret
+        # TICX chunk-parallel entropy decode ON DEVICE (pure XLA --
+        # gathers + canonical-code compares, ops/entropy_decode.py).
+        # Default on TPU backends: it replaces the per-batch coefficient
+        # upload (~2 bytes/pixel) with the compressed stream itself
+        # (~0.5 byte/pixel) and frees the host cores entirely.
+        self._device_entropy = (
+            jax.default_backend() == "tpu"
+            or bool(os.environ.get("TINYIMGCODEC_DEVICE_ENTROPY"))
+        )
         self._encode_fn = functools.lru_cache(maxsize=32)(self._build_encode)
         self._decode_fn = functools.lru_cache(maxsize=32)(self._build_decode)
         self._arrays_fn = functools.lru_cache(maxsize=32)(self._build_arrays)
+        self._devdec_fn = functools.lru_cache(maxsize=16)(
+            self._build_device_decode
+        )
         self._entropy_custom_cache = None
 
     # -- jit builders ----------------------------------------------------
@@ -413,14 +425,107 @@ class Engine:
             int(block_bits.sum()),
         )
 
+    # -- device entropy decode (TICX chunk-parallel, pure XLA) ---------
+    def _build_device_decode(self, b: int, nb: int, wlen: int,
+                             quality: int, precision: str, scaled: bool,
+                             stride: int):
+        """One fused program: payload words -> pixel blocks.  Entropy
+        decode (ops/entropy_decode.py), inverse DPCM, dequant + IDCT --
+        no coefficients ever cross the host link."""
+        jax = self._jax
+
+        from .ops.entropy_decode import entropy_decode_chunks
+
+        def run(words, starts, blocks_c, bases, lo, hi):
+            zz, ok = entropy_decode_chunks(
+                words, starts, blocks_c, bases, lo, hi,
+                nb_total=b * nb, stride=stride,
+            )
+            zzb = zz.reshape(b, nb, 64)
+            zz_abs = transform.undo_dpcm(zzb[..., 0], zzb[..., 1:])
+            blocks, flags = transform.decode_blocks(
+                zz_abs, quality, precision, scaled_dct=scaled,
+                with_flags=True,
+            )
+            return blocks, flags, ok, zz_abs
+
+        return jax.jit(run)
+
+    def _decompress_batch_device(self, streams: list[bytes]):
+        """Uniform TICX standard-table streams -> (B, H, W) uint8, with
+        the entropy stage on device.  Returns None when the batch is
+        ineligible (caller falls back to the host entropy path); chunks
+        that fail validation (corrupt streams) degrade per image to the
+        host golden decoder."""
+        from .ops.entropy_decode import prepare_batch
+
+        prep = prepare_batch(streams)
+        if prep is None:
+            return None
+        jnp = self._jax.numpy
+        b = len(streams)
+        h, w, quality = prep["shape"]
+        nb = prep["nb_per_image"]
+        scaled = bool(prep["scaled_dct"])
+        # pad the word buffer to a power-of-two bucket so arbitrary
+        # stream lengths reuse a handful of compiled programs
+        wl = len(prep["words"])
+        bucket = 1 << max(10, (wl - 1).bit_length())
+        words = np.zeros(bucket, np.uint32)
+        words[:wl] = prep["words"]
+        fn = self._devdec_fn(
+            b, nb, bucket, int(quality), self.precision, scaled,
+            prep["stride"],
+        )
+        blocks, flags, ok, zz_abs = fn(
+            jnp.asarray(words),
+            jnp.asarray(prep["chunk_start"]),
+            jnp.asarray(prep["chunk_blocks"]),
+            jnp.asarray(prep["chunk_block_base"]),
+            jnp.asarray(prep["chunk_end_lo"]),
+            jnp.asarray(prep["chunk_end_hi"]),
+        )
+        ok_np = np.asarray(ok)
+        flags_np = np.asarray(flags).reshape(-1)
+        if flags_np.any():
+            # truncation-boundary pixels: host float64 recompute of the
+            # flagged blocks (same fixup as the host-entropy path)
+            idxs = np.flatnonzero(flags_np)
+            rows = np.asarray(zz_abs.reshape(-1, 64)[jnp.asarray(idxs)])
+            fixed = self._host_decode_blocks(rows, quality, scaled)
+            blocks = (
+                blocks.reshape(-1, 8, 8)
+                .at[jnp.asarray(idxs)]
+                .set(jnp.asarray(fixed))
+                .reshape(b, nb, 8, 8)
+            )
+        h8 = -(-h // 8) * 8
+        w8 = -(-w // 8) * 8
+        imgs = np.asarray(transform.unblockify(blocks, h8, w8))
+        imgs = np.ascontiguousarray(imgs[:, :h, :w])
+        if not ok_np.all():
+            for i in np.unique(prep["chunk_img"][~ok_np]):
+                imgs[i] = container.decompress(streams[int(i)])
+        return imgs
+
     def decompress(self, data: bytes) -> np.ndarray:
+        if self._device_entropy:
+            out = self._decompress_batch_device([data])
+            if out is not None:
+                return out[0]
         arrays = container.decompress_to_arrays(data)
         return self.decode_arrays(arrays)
 
     def decompress_batch(self, streams: list[bytes]) -> np.ndarray:
         """Decode same-shaped streams: C entropy decode per stream (the
         serial part; streams decoded concurrently -- the ctypes call
-        releases the GIL), ONE batched device transform for all of them."""
+        releases the GIL), ONE batched device transform for all of them.
+        TICX-indexed standard-table batches skip the host entirely on
+        TPU backends (chunk-parallel device entropy decode)."""
+        if self._device_entropy:
+            out = self._decompress_batch_device(streams)
+            if out is not None:
+                return out
         from concurrent.futures import ThreadPoolExecutor
 
         if len(streams) > 1:

@@ -360,7 +360,17 @@ def assemble_cm(
     n = packed.shape[0]
     if n % bt:
         raise ValueError(f"N={n} not a multiple of tile {bt}")
-    cap_rows = max(-(-cap_words // OUT_COLS), 4)
+    # +1 guard row: the RMW writes two 128-word rows starting at
+    # q = start_word >> 7, and a valid stream's last block may start
+    # anywhere up to word cap_words - 1 (row ceil(cap/128) - 1), so its
+    # second row lands in the guard.  Without it the kernels' defensive
+    # clamp (q0 = min(q, rows - 2)) silently RELOCATED last-row blocks
+    # on top of earlier data -- corrupting any stream whose tail landed
+    # in the final 128-word row of the budget with no overflow flag
+    # (round-3 verdict repro: 64x64 noise, q=50, 4 bpp budget).  With
+    # the guard row the clamp is a true no-op for every stream the
+    # overflow predicate below admits.
+    cap_rows = max(-(-cap_words // OUT_COLS), 4) + 1
 
     off = meta[0].astype(jnp.int32)  # (n,)
     total_bits = off[-1] + meta[1, -1].astype(jnp.int32)
@@ -380,5 +390,8 @@ def assemble_cm(
         maxspan = span.reshape(n // bt, bt // GROUP).max(axis=1)
         call = _build(int(bt), n, int(cap_rows), interpret)
         out = call(packed, w, span, drel, maxspan)
-    overflow = (total_bits >> 5) >= cap_words
+    # exact capacity test: ceil(total_bits / 32) words must fit.  Any
+    # stream admitted here places correctly (see guard-row note above);
+    # anything larger is flagged so callers retry with a bigger budget.
+    overflow = total_bits > cap_words * 32
     return out.reshape(-1), starts, total_bits, overflow

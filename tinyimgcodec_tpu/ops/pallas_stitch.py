@@ -190,6 +190,16 @@ def stitch_pallas(
     n = words.shape[0]
     if n % bt:
         raise ValueError(f"N={n} not a multiple of tile {bt}")
-    cap_chunks = max(-(-cap_words // CHUNK), 2)
+    # +1 guard chunk: the final flush writes the window tail to chunks
+    # [flushed, flushed + 1]; a stream that exactly fills the capacity
+    # ends with flushed == ceil(cap/64), so without the guard the tail
+    # would be clamped onto the last data chunk.  The in-kernel flag
+    # only fires on a *crossing* at flushed >= cap_chunks, which a
+    # stream exceeding capacity by < 64 words never performs -- so the
+    # wrapper below also flags overflow exactly (same silent-window
+    # class as the round-3 placement-clamp bug).
+    cap_chunks = max(-(-cap_words // CHUNK), 2) + 1
     call = _build(int(bt), int(nb), n, cap_chunks, interpret)
-    return call(words, bits.astype(jnp.int32))
+    stream, starts, total, status = call(words, bits.astype(jnp.int32))
+    status = status | jnp.where(total > cap_words * 32, 2, 0)
+    return stream, starts, total, status

