@@ -220,8 +220,9 @@ def bench_decode_entropy_device(streams, k=50):
     ]
 
     def step(words):
-        zz, ok = entropy_decode_chunks(
-            words, *consts, nb_total=b * nb, stride=stride
+        zz, ok, _ = entropy_decode_chunks(
+            words, *consts, nb_total=b * nb, stride=stride,
+            max_symbols=stride * 32 + 2,
         )
         zzb = zz.reshape(b, nb, 64)
         zz_abs = transform.undo_dpcm(zzb[..., 0], zzb[..., 1:])

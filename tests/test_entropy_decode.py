@@ -19,11 +19,12 @@ from tinyimgcodec_tpu.ops import entropy_decode as ed
 from conftest import synthetic_image
 
 
-def _decode_prep(prep):
-    zz, ok = jax.jit(
+def _decode_prep(prep, max_symbols=None):
+    zz, ok, exhausted = jax.jit(
         lambda w, s, b, bb, lo, hi: ed.entropy_decode_chunks(
             w, s, b, bb, lo, hi,
             nb_total=prep["nb_total"], stride=prep["stride"],
+            max_symbols=max_symbols,
         )
     )(
         jnp.asarray(prep["words"]),
@@ -33,14 +34,14 @@ def _decode_prep(prep):
         jnp.asarray(prep["chunk_end_lo"]),
         jnp.asarray(prep["chunk_end_hi"]),
     )
-    return np.asarray(zz), np.asarray(ok)
+    return np.asarray(zz), np.asarray(ok), np.asarray(exhausted)
 
 
 def _assert_parity(streams):
     prep = ed.prepare_batch(streams)
     assert prep is not None
-    zz, ok = _decode_prep(prep)
-    assert ok.all()
+    zz, ok, exhausted = _decode_prep(prep)
+    assert ok.all() and not exhausted.any()
     base = 0
     for s in streams:
         a = container.decompress_to_arrays(s)
@@ -120,7 +121,7 @@ def test_device_entropy_detects_corruption():
         prep = ed.prepare_batch([mut])
         if prep is None:
             continue  # trailer invalidated -> host path, fine
-        zz, ok = _decode_prep(prep)
+        zz, ok, _ = _decode_prep(prep)
         if ok.all():
             a = container.decompress_to_arrays(mut)
             assert np.array_equal(a.dc, zz[:, 0])

@@ -67,6 +67,7 @@ def compress(
     backend: str = "auto",
     precision: str = "exact",
     block_index: bool = False,
+    index_stride: int = 64,
     config: CodecConfig | None = None,
 ) -> bytes:
     """Grayscale image (H, W) -> compressed bytes.
@@ -84,6 +85,7 @@ def compress(
             precision=precision,
             auto_huffman_table=auto_generate_huffman_table,
             block_index=block_index,
+            index_stride=index_stride,
         )
     if backend not in ("auto", "jax", "host"):
         raise ValueError(f"unknown backend {backend!r}")
@@ -97,12 +99,13 @@ def compress(
                 image, config.quality,
                 auto_table=config.auto_huffman_table,
                 block_index=config.block_index,
+                index_stride=config.index_stride,
             )
         if backend == "jax":
             raise _engine_unavailable_error()
     return container.compress(
         image, config.quality, config.auto_huffman_table,
-        block_index=config.block_index,
+        block_index=config.block_index, index_stride=config.index_stride,
     )
 
 
@@ -112,6 +115,7 @@ def compress_batch(
     backend: str = "auto",
     precision: str = "exact",
     block_index: bool = False,
+    index_stride: int = 64,
 ) -> list[bytes]:
     """(B, H, W) same-shaped grayscale images -> list of compressed bytes.
 
@@ -125,7 +129,8 @@ def compress_batch(
     (precision="exact" is byte-identical to the float64 reference).
     """
     config = CodecConfig(
-        quality=quality, precision=precision, block_index=block_index
+        quality=quality, precision=precision, block_index=block_index,
+        index_stride=index_stride,
     )
     if backend not in ("auto", "jax", "host"):
         raise ValueError(f"unknown backend {backend!r}")
@@ -159,6 +164,7 @@ def compress_batch(
                 kw = dict(
                     quality=config.quality, precision=config.precision,
                     block_index=config.block_index,
+                    index_stride=config.index_stride,
                     interpret=engine._pallas_interpret,
                 )
                 if staged is not None:
@@ -172,12 +178,14 @@ def compress_batch(
         return xla_batch(
             np.asarray(images), quality=config.quality,
             precision=config.precision, block_index=config.block_index,
+            index_stride=config.index_stride,
         )
     if backend == "jax":
         raise _engine_unavailable_error()
     return [
         container.compress(
-            im, config.quality, block_index=config.block_index
+            im, config.quality, block_index=config.block_index,
+            index_stride=config.index_stride,
         )
         for im in np.asarray(images)
     ]

@@ -19,6 +19,9 @@ class CodecConfig:
     precision: str = "exact"    # "exact" (reference-bit-identical) | "fast"
     auto_huffman_table: bool = False  # embed frequency-optimal tables
     block_index: bool = False   # append the TICX parallel-decode trailer
+    index_stride: int = 64      # blocks per TICX chunk (power of two);
+    #                             smaller = more decode parallelism,
+    #                             ~4*nb/stride trailer bytes per image
     assemble: str = "host"      # "host" (byte-conformant) | "device"
     bits_per_pixel_budget: float = 6.0  # device-assembly buffer sizing
     mesh_devices: int | None = None     # None = all local devices
@@ -35,6 +38,14 @@ class CodecConfig:
             raise ValueError(f"unknown precision {self.precision!r}")
         if self.assemble not in ("host", "device"):
             raise ValueError(f"unknown assemble mode {self.assemble!r}")
+        if (
+            self.index_stride < 1
+            or self.index_stride & (self.index_stride - 1)
+        ):
+            raise ValueError(
+                f"index_stride must be a power of two, got "
+                f"{self.index_stride}"
+            )
         if self.block_index and self.auto_huffman_table:
             raise ValueError(
                 "block_index is a standard-table-only feature; it cannot "

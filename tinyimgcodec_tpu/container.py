@@ -197,13 +197,18 @@ def compress(
     quality: int = 50,
     auto_generate_huffman_table: bool = False,
     block_index: bool = False,
+    index_stride: int = INDEX_STRIDE,
 ) -> bytes:
     """Image -> bytes (host/golden path; reference codec.py:133-164).
 
-    block_index=True appends the TICX trailer for parallel decode.
+    block_index=True appends the TICX trailer for parallel decode;
+    index_stride sets its chunk granularity (power of two).
     """
     arrays = golden.encode_arrays(np.asarray(image), quality)
-    return compress_arrays(arrays, auto_generate_huffman_table, block_index)
+    return compress_arrays(
+        arrays, auto_generate_huffman_table, block_index,
+        index_stride=index_stride,
+    )
 
 
 def compress_arrays(
@@ -211,6 +216,7 @@ def compress_arrays(
     auto_generate_huffman_table: bool = False,
     block_index: bool = False,
     spec: HuffmanSpec | None = None,
+    index_stride: int = INDEX_STRIDE,
 ) -> bytes:
     """``spec``: a prebuilt HuffmanSpec for the auto-table path (skips
     recomputing histograms when the caller already built one)."""
@@ -235,7 +241,9 @@ def compress_arrays(
     _encode_payload(arrays, _DEFAULT_TABLES, writer, offsets)
     data = writer.to_bytes()
     if offsets is not None:
-        data += make_block_index(np.asarray(offsets, dtype=np.int64))
+        data += make_block_index(
+            np.asarray(offsets, dtype=np.int64), stride=index_stride
+        )
     return data
 
 

@@ -288,6 +288,7 @@ class Engine:
     def compress(
         self, image: np.ndarray, quality: int = 50,
         auto_table: bool = False, block_index: bool = False,
+        index_stride: int = container.INDEX_STRIDE,
     ) -> bytes:
         image = np.asarray(image)
         if auto_table:
@@ -302,7 +303,7 @@ class Engine:
 
             return compress_batch_pallas(
                 image[None], quality, precision=self.precision,
-                block_index=block_index,
+                block_index=block_index, index_stride=index_stride,
                 interpret=self._pallas_interpret,
             )[0]
         words, block_bits = self.encode_to_words(image, quality)
@@ -324,7 +325,9 @@ class Engine:
             # per-block payload offsets are the exclusive bit cumsum --
             # free from the device's block_bits output
             offsets = np.cumsum(block_bits, dtype=np.int64) - block_bits
-            data += container.make_block_index(offsets)
+            data += container.make_block_index(
+                offsets, stride=index_stride
+            )
         return data
 
     # -- dynamic-table encode ---------------------------------------------
@@ -428,7 +431,7 @@ class Engine:
     # -- device entropy decode (TICX chunk-parallel, pure XLA) ---------
     def _build_device_decode(self, b: int, nb: int, wlen: int,
                              quality: int, precision: str, scaled: bool,
-                             stride: int):
+                             stride: int, max_symbols: int | None):
         """One fused program: payload words -> pixel blocks.  Entropy
         decode (ops/entropy_decode.py), inverse DPCM, dequant + IDCT --
         no coefficients ever cross the host link."""
@@ -437,9 +440,9 @@ class Engine:
         from .ops.entropy_decode import entropy_decode_chunks
 
         def run(words, starts, blocks_c, bases, lo, hi):
-            zz, ok = entropy_decode_chunks(
+            zz, ok, exhausted = entropy_decode_chunks(
                 words, starts, blocks_c, bases, lo, hi,
-                nb_total=b * nb, stride=stride,
+                nb_total=b * nb, stride=stride, max_symbols=max_symbols,
             )
             zzb = zz.reshape(b, nb, 64)
             zz_abs = transform.undo_dpcm(zzb[..., 0], zzb[..., 1:])
@@ -447,7 +450,7 @@ class Engine:
                 zz_abs, quality, precision, scaled_dct=scaled,
                 with_flags=True,
             )
-            return blocks, flags, ok, zz_abs
+            return blocks, flags, ok, exhausted, zz_abs
 
         return jax.jit(run)
 
@@ -473,11 +476,8 @@ class Engine:
         bucket = 1 << max(10, (wl - 1).bit_length())
         words = np.zeros(bucket, np.uint32)
         words[:wl] = prep["words"]
-        fn = self._devdec_fn(
-            b, nb, bucket, int(quality), self.precision, scaled,
-            prep["stride"],
-        )
-        blocks, flags, ok, zz_abs = fn(
+        stride = prep["stride"]
+        args = (
             jnp.asarray(words),
             jnp.asarray(prep["chunk_start"]),
             jnp.asarray(prep["chunk_blocks"]),
@@ -485,6 +485,23 @@ class Engine:
             jnp.asarray(prep["chunk_end_lo"]),
             jnp.asarray(prep["chunk_end_hi"]),
         )
+        # two-round symbol budget: the slot buffers (and the post-chain
+        # phases, O(budget * chunks)) size to typical content; the rare
+        # denser-than-budget chunk triggers one worst-case rerun
+        budget = min(stride * 32 + 2, stride * 68 + 2)
+        fn = self._devdec_fn(
+            b, nb, bucket, int(quality), self.precision, scaled,
+            stride, budget,
+        )
+        blocks, flags, ok, exhausted, zz_abs = fn(*args)
+        if budget < stride * 68 + 2 and bool(
+            np.asarray(exhausted).any()
+        ):
+            fn = self._devdec_fn(
+                b, nb, bucket, int(quality), self.precision, scaled,
+                stride, None,
+            )
+            blocks, flags, ok, exhausted, zz_abs = fn(*args)
         ok_np = np.asarray(ok)
         flags_np = np.asarray(flags).reshape(-1)
         if flags_np.any():

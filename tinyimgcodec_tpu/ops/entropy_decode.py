@@ -165,6 +165,7 @@ def entropy_decode_chunks(
     chunk_end_hi,
     nb_total: int,
     stride: int,
+    max_symbols: int | None = None,
 ):
     """Decode all chunks of a (multi-stream) payload word array.
 
@@ -177,8 +178,15 @@ def entropy_decode_chunks(
     offset for interior chunks; [payload_end-7, payload_end] for each
     image's last chunk).
 
+    max_symbols: per-chunk symbol budget sizing the slot buffers.  The
+    legal worst case (stride * 68) is ~6x what natural content needs,
+    and the post-chain phases cost O(budget * C), so callers run with a
+    small budget first and retry at the worst case only when
+    ``exhausted`` reports a chunk ran out (two-round decode).
+
     Returns (zz (nb_total, 64) int32 zig-zag coefficients with DPCM'd
-    DC in column 0, ok (C,) bool per-chunk validation).  Traceable
+    DC in column 0, ok (C,) bool per-chunk validation, exhausted (C,)
+    bool -- ran out of budget, retry with a larger one).  Traceable
     under jit; everything stays on device.
     """
     import jax
@@ -186,42 +194,67 @@ def entropy_decode_chunks(
 
     dc_tab, ac_tab = _decode_tables()
     c = chunk_start.shape[0]
-    s_cap = int(stride) * MAX_BLOCK_SYMBOLS + 2
+    worst = int(stride) * MAX_BLOCK_SYMBOLS + 2
+    s_cap = min(worst, max_symbols) if max_symbols else worst
 
-    # -- phase 1: chain following ------------------------------------
+    # -- phase 0: packed per-window symbol table + window array --------
+    # The serial phase is bound by per-op dispatch overhead and gather
+    # locality, so it must be a handful of ops over SMALL tables:
+    #  * info_tab[(is_dc << 16) | w16] packs EVERYTHING about the
+    #    symbol whose code heads the 16-bit window: code length (5b),
+    #    magnitude size (4b), zero run (4b), EOB flag (1b), total bit
+    #    advance (top bits).  512 KB, content-independent.  (Codes are
+    #    <= 16 bits by construction; magnitude bits extending past the
+    #    window only contribute their COUNT, which the window
+    #    determines.)
+    #  * ov32[j] = payload bits [16j, 16j+32) -- any 16-bit window is
+    #    ONE gather + shift instead of two word gathers.  (A previous
+    #    variant precomputed 224 MB of per-bit-position next tables:
+    #    random HBM gathers measured SLOWER than recomputing.)
+    w16_all = jnp.arange(65536, dtype=jnp.int32)
+    w16_u = (w16_all << 16).astype(jnp.uint32)
+    l_dc, cat = _decode_symbol(w16_u, dc_tab)
+    l_ac, rs = _decode_symbol(w16_u, ac_tab)
+    cat = jnp.clip(cat, 0, 15)
+    info_dc = l_dc | (cat << 5) | ((l_dc + cat) << 14)
+    adv_ac = l_ac + (rs & 15)
+    info_ac = (
+        l_ac | ((rs & 15) << 5) | ((rs >> 4) << 9)
+        | jnp.where(rs == 0, 1 << 13, 0) | (adv_ac << 14)
+    )
+    info_tab = jnp.concatenate([info_ac, info_dc])
+
+    hw = jnp.stack(
+        [(words >> jnp.uint32(16)).astype(jnp.int32),
+         (words & jnp.uint32(0xFFFF)).astype(jnp.int32)],
+        axis=1,
+    ).reshape(-1)  # (2W,) 16-bit cells
+    ov32 = (hw << 16) | jnp.roll(hw, -1).at[-1].set(0)  # (2W,) int32
+
+    # -- phase 1: chain following (the only serial part) ---------------
+    # per step: two small gathers, ~12 vector ops, one row write.  Slot
+    # record packs (pos, kind) into one int32.
     def step(state):
-        i, pos, is_dc, left, wbuf, kbuf, bad = state
-        w32 = _window32(words, pos)
-        l_dc, cat = _decode_symbol(w32, dc_tab)
-        l_ac, rs = _decode_symbol(w32, ac_tab)
-        cat = jnp.clip(cat, 0, 15)
-        size = rs & 15
-        adv = jnp.where(is_dc, l_dc + cat, l_ac + size)
-        eob = (~is_dc) & (rs == 0)
+        i, pos, is_dc, left, pbuf = state
         live = left > 0
-        # slot kind: 0 dead, 1 AC, 2 DC
-        kind = jnp.where(live, jnp.where(is_dc, 2, 1), 0).astype(
-            jnp.int8
+        ov = jnp.take(ov32, pos >> 4, mode="clip")
+        w16 = (ov >> (16 - (pos & 15))) & 0xFFFF
+        v = jnp.take(
+            info_tab, w16 + (is_dc.astype(jnp.int32) << 16),
+            mode="clip",
         )
-        wbuf = jax.lax.dynamic_update_slice(
-            wbuf, w32[None, :], (i, 0)
-        )
-        kbuf = jax.lax.dynamic_update_slice(
-            kbuf, kind[None, :], (i, 0)
-        )
-        pos = pos + jnp.where(live, adv, 0)
-        left = left - (live & eob)
-        is_dc = jnp.where(eob, True, jnp.where(live & is_dc, False,
-                                               is_dc))
-        # a cursor escaping its bound mid-chunk can only loop forever on
-        # zero-advance garbage; force-finish and mark bad
-        esc = live & (pos > chunk_end_hi)
-        bad = bad | esc
-        left = jnp.where(esc, 0, left)
-        return i + 1, pos, is_dc, left, wbuf, kbuf, bad
+        eob = (v & (1 << 13)) != 0
+        kind = jnp.where(live, jnp.where(is_dc, 2, 1), 0)
+        rec = pos | (kind << 29)
+        pbuf = jax.lax.dynamic_update_slice(pbuf, rec[None], (i, 0))
+        pos = pos + jnp.where(live, v >> 14, 0)
+        hit = live & eob
+        left = left - hit
+        is_dc = jnp.where(live, jnp.where(is_dc, False, eob), is_dc)
+        return i + 1, pos, is_dc, left, pbuf
 
     def cond(state):
-        i, pos, is_dc, left, wbuf, kbuf, bad = state
+        i, pos, is_dc, left, pbuf = state
         return (i < s_cap) & jnp.any(left > 0)
 
     init = (
@@ -229,23 +262,42 @@ def entropy_decode_chunks(
         chunk_start.astype(jnp.int32),
         jnp.ones((c,), bool),
         chunk_blocks.astype(jnp.int32),
-        jnp.zeros((s_cap, c), jnp.uint32),
-        jnp.zeros((s_cap, c), jnp.int8),
-        jnp.zeros((c,), bool),
+        jnp.zeros((s_cap, c), jnp.int32),
     )
-    steps, pos_f, _, left_f, wbuf, kbuf, bad = jax.lax.while_loop(
+    steps, pos_f, _, left_f, pbuf = jax.lax.while_loop(
         cond, step, init
     )
+    exhausted = left_f > 0
+    bad = exhausted
 
     # -- phase 2: value decode over all recorded slots ----------------
+    # same packed table: 3 gathers per slot total (window cell pair +
+    # info), everything else wide arithmetic.
+    kbuf = (pbuf >> 29) & 3
+    slot_pos = pbuf & ((1 << 29) - 1)
     is_dc = kbuf == 2
     is_ac = kbuf == 1
     valid = kbuf != 0
-    l_dc, cat = _decode_symbol(wbuf, dc_tab)
-    l_ac, rs = _decode_symbol(wbuf, ac_tab)
-    size = jnp.where(is_dc, jnp.clip(cat, 0, 15), rs & 15)
-    run = jnp.where(is_dc, 0, rs >> 4)
-    length = jnp.where(is_dc, l_dc, l_ac)
+    j = slot_pos >> 4
+    s = (slot_pos & 15).astype(jnp.uint32)
+    a = jnp.take(ov32, j, mode="clip").astype(jnp.uint32)
+    b = jnp.take(ov32, j + 1, mode="clip").astype(jnp.uint32)
+    # cells overlap by 16 bits: the window's low s bits are the TOP s
+    # bits of b's LOW half (bits [16j+32, 16j+32+s))
+    wbuf = jnp.where(
+        s == 0, a,
+        (a << s) | ((b & jnp.uint32(0xFFFF)) >> (jnp.uint32(16) - s)),
+    )
+    info = jnp.take(
+        info_tab,
+        (wbuf >> 16).astype(jnp.int32)
+        + (is_dc.astype(jnp.int32) << 16),
+        mode="clip",
+    )
+    length = info & 31
+    size = (info >> 5) & 15
+    run = (info >> 9) & 15
+    eob = is_ac & ((info & (1 << 13)) != 0)
     mag_shift = (32 - length - size).astype(jnp.uint32)
     mag = (
         (wbuf >> jnp.clip(mag_shift, 0, 31))
@@ -253,7 +305,6 @@ def entropy_decode_chunks(
            - 1)
     ).astype(jnp.int32)
     value = _sign_extend(mag, size)
-    eob = is_ac & (rs == 0)
 
     # -- phase 3: reassembly ------------------------------------------
     # block index within chunk: running count of DC slots - 1
@@ -280,12 +331,11 @@ def entropy_decode_chunks(
     zz = zz[:-1].reshape(nb_total, 64)
 
     # -- validation ----------------------------------------------------
-    bad = bad | (left_f > 0)
     bad = bad | jnp.any(write & ~(pos_ok & blk_ok), axis=0)
     blocks_done = jnp.sum(is_dc.astype(jnp.int32), axis=0)
     bad = bad | (blocks_done != chunk_blocks)
     bad = bad | (pos_f < chunk_end_lo) | (pos_f > chunk_end_hi)
-    return zz, ~bad
+    return zz, ~bad, exhausted
 
 
 def prepare_batch(streams: list[bytes]):
@@ -356,7 +406,10 @@ def prepare_batch(streams: list[bytes]):
         img_of.append(np.full(n_chunks, i, np.int64))
         base_bits += pay_bits + pad * 8
         blk_base += nb
-    if base_bits >= 2**31:
+    # cursors and the (pos, kind) slot packing need positions < 2^28
+    # bits (32 MB of payload per batch); larger batches use the host
+    # entropy path
+    if base_bits >= 2**28:
         return None
 
     raw = b"".join(word_chunks)

@@ -60,6 +60,9 @@ GROUP3 = 16        # blocks per group
 SPAN3 = 63         # max in-group word delta the log roll handles
 W3 = 2 * OUT_COLS  # 256-lane window: delta 63 + row 56 + phase 127 < 256
 
+# v4 (matmul scatter placement)
+RROWS = 128        # output-row window a tile's stream extent must fit
+
 
 def _make_kernel(bt: int, cap_rows: int):
     ng = bt // GROUP
@@ -339,6 +342,127 @@ def _build_v3(bt: int, n: int, cap_rows: int, interpret: bool):
     return call
 
 
+def _make_kernel_v4(bt: int, rrows: int):
+    """Matmul scatter placement (v4, default when the tile fits).
+
+    v2/v3 end in a serial per-group loop (dynamic read + phase roll +
+    two-row RMW per group) that measures ~1.3 ms of the corpus pass on
+    a v5e -- loop machinery, not data movement.  v4 removes ALL serial
+    placement work by turning the scatter into an MXU matmul:
+
+    1. every block row rolls to its own full word phase ``dq = w & 127``
+       (6 masked-roll steps on the 128-lane window for dq & 63 -- block
+       extent 56 + 63 < 128 -- then one 256-lane step for dq & 64);
+    2. a one-hot matrix ``B[r, j] = (q_j - q0 == r)`` scatters all bt
+       rows onto the tile's output-row window in two (rrows, bt) @
+       (bt, 256) matmuls.  Stream bits are disjoint across blocks, so
+       integer OR == integer ADD, and each uint32 word split into
+       16-bit halves sums exactly in f32 (halves <= 0xFFFF).
+
+    No per-group spans, no wide-group fallback: every block is placed
+    individually by construction.  Tiles whose stream extent exceeds
+    ``rrows - 1`` output rows (> ~16 words/block average) divert the
+    whole batch to the v3 kernel via lax.cond in assemble_cm.
+    """
+
+    def kernel(rows_ref, qrel_ref, dq_ref, q0_ref, out_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        rows = jnp.concatenate(
+            [rows_ref[...],
+             jnp.zeros((bt, OUT_COLS - ROW_WORDS), jnp.uint32)],
+            axis=1,
+        )  # (bt, 128)
+        dmat = jnp.broadcast_to(dq_ref[...].T, (bt, OUT_COLS))
+        r = rows
+        for k in (1, 2, 4, 8, 16, 32):
+            rolled = pltpu.roll(r, k, 1)
+            r = jnp.where((dmat & k) != 0, rolled, r)
+        r = jnp.concatenate(
+            [r, jnp.zeros((bt, OUT_COLS), jnp.uint32)], axis=1
+        )  # (bt, 256)
+        dmat2 = jnp.broadcast_to(dq_ref[...].T, (bt, W3))
+        rolled = pltpu.roll(r, 64, 1)
+        r = jnp.where((dmat2 & 64) != 0, rolled, r)
+
+        # Byte-quarter matmuls: the MXU's native bf16 path represents
+        # integers <= 256 exactly, and disjoint stream bits keep every
+        # 8-bit lane sum <= 255 (f32 accumulation), so four bf16
+        # matmuls reconstruct the uint32 words bit-exactly.  (A plain
+        # f32 jnp.dot silently casts inputs to bf16 on TPU and
+        # corrupts the halves -- caught by the hardware byte-identity
+        # check; interpret mode computes f32 and hides it.)
+        rows_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (rrows, bt), 0
+        )
+        sel = (
+            rows_iota == jnp.broadcast_to(qrel_ref[...], (rrows, bt))
+        ).astype(jnp.bfloat16)
+        word = jnp.zeros((rrows, W3), jnp.uint32)
+        for k in range(4):
+            q = (
+                ((r >> jnp.uint32(8 * k)) & jnp.uint32(0xFF))
+                .astype(jnp.int32)
+                .astype(jnp.float32)
+                .astype(jnp.bfloat16)
+            )
+            acc = jnp.dot(sel, q, preferred_element_type=jnp.float32)
+            word = word | (
+                acc.astype(jnp.int32).astype(jnp.uint32)
+                << jnp.uint32(8 * k)
+            )  # (rrows, 256)
+
+        q0 = q0_ref[0, t]
+        cur = out_ref[pl.ds(q0, rrows), :]
+        out_ref[pl.ds(q0, rrows), :] = cur | word[:, :OUT_COLS]
+        cur2 = out_ref[pl.ds(q0 + 1, rrows), :]
+        out_ref[pl.ds(q0 + 1, rrows), :] = cur2 | word[:, OUT_COLS:]
+
+    return kernel
+
+
+@functools.cache
+def _build_v4(bt: int, n: int, alloc_rows: int, interpret: bool):
+    ntiles = n // bt
+    kernel = _make_kernel_v4(bt, RROWS)
+    grid_spec = pl.GridSpec(
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((bt, ROW_WORDS), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ntiles), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((alloc_rows, OUT_COLS), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+    def call(packed, qrel, dq, q0):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((alloc_rows, OUT_COLS),
+                                           jnp.uint32),
+            compiler_params=params,
+            interpret=interpret,
+        )(packed, qrel.reshape(1, n), dq.reshape(1, n),
+          q0.reshape(1, ntiles))
+
+    return call
+
+
 def assemble_cm(
     packed: jnp.ndarray,
     meta: jnp.ndarray,
@@ -378,10 +502,28 @@ def assemble_cm(
 
     w = off >> 5
     if bt % GROUP3 == 0:
+        # v4 (matmul scatter) when every tile's stream extent fits the
+        # RROWS output-row window (~16 words/block average -- all
+        # natural content); the v3 log masked-roll kernel is the
+        # always-correct fallback picked at runtime by lax.cond.
+        ntiles = n // bt
+        alloc_rows = int(cap_rows) + RROWS
+        q = w >> 7
+        qt = q.reshape(ntiles, bt)
+        q0 = qt[:, 0]
+        qrel = (qt - q0[:, None]).reshape(n)
+        dq = w & 127
+        fits = jnp.max(qt[:, -1] - q0) <= RROWS - 1
         wg = w.reshape(-1, GROUP3)
         drel = (wg - wg[:, 0:1]).reshape(n)
-        call = _build_v3(int(bt), n, int(cap_rows), interpret)
-        out = call(packed, w, drel)
+        v4 = _build_v4(int(bt), n, alloc_rows, interpret)
+        v3 = _build_v3(int(bt), n, alloc_rows, interpret)
+        out = jax.lax.cond(
+            fits,
+            lambda p, wv, dr, qr, dqv, q0v: v4(p, qr, dqv, q0v),
+            lambda p, wv, dr, qr, dqv, q0v: v3(p, wv, dr),
+            packed, w, drel, qrel, dq, q0.astype(jnp.int32),
+        )
     else:
         wg = w.reshape(-1, GROUP)
         drelg = wg - wg[:, 0:1]

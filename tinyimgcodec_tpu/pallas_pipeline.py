@@ -231,6 +231,7 @@ def compress_batch_pallas(
     precision: str = transform.FAST,
     version: str = "v2",
     block_index: bool = False,
+    index_stride: int = container.INDEX_STRIDE,
     true_shape: tuple[int, int] | None = None,
 ) -> list[bytes]:
     """(B, H, W) uint8 same-shaped images -> list of compressed bytes.
@@ -345,7 +346,8 @@ def compress_batch_pallas(
         data = header + raw[s:e]
         if off_all is not None:
             data += container.make_block_index(
-                off_all[i * nb : (i + 1) * nb] - int(starts[i])
+                off_all[i * nb : (i + 1) * nb] - int(starts[i]),
+                stride=index_stride,
             )
         out.append(data)
     return out

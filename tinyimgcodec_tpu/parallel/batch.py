@@ -115,6 +115,7 @@ def compress_batch(
     bits_per_pixel_budget: float = 4.0,
     staged=None,
     block_index: bool = False,
+    index_stride: int = container.INDEX_STRIDE,
 ) -> list[bytes]:
     """(B, H, W) same-shaped grayscale images -> list of compressed bytes.
 
@@ -212,7 +213,9 @@ def compress_batch(
             data = header + pack_ragged_words(w_i, bits_i)
         if block_index:
             offsets = np.cumsum(bits_i, dtype=np.int64) - bits_i
-            data += container.make_block_index(offsets)
+            data += container.make_block_index(
+                offsets, stride=index_stride
+            )
         out.append(data)
     return out
 
