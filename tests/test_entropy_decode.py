@@ -174,6 +174,34 @@ def test_engine_device_decode_corrupt_falls_back():
     assert np.array_equal(dev, host)
 
 
+def test_engine_subset_rerun_on_dense_chunks():
+    """A batch where ONE image's chunks exceed the first-pass symbol
+    budget (high-entropy noise at q=90, ~30 symbols/block vs the ~12
+    budget): the engine must re-decode just those chunks at the worst
+    case and merge, with output identical to the host path."""
+    from tinyimgcodec_tpu.engine import Engine
+    from tinyimgcodec_tpu.ops import entropy_decode as ed
+
+    rng = np.random.RandomState(17)
+    noise = rng.randint(0, 256, (64, 64)).astype(np.uint8)
+    smooth = synthetic_image(64, 64, seed=5)
+    streams = [
+        container.compress(im, quality=90, block_index=True)
+        for im in (smooth, noise, smooth)
+    ]
+    # confirm the dense image genuinely exhausts the first-pass budget
+    prep = ed.prepare_batch(streams)
+    stride = prep["stride"]
+    _, ok1, exh1 = _decode_prep(prep, max_symbols=stride * 12 + 2)
+    assert exh1.any(), "noise image should exhaust the 12-symbol budget"
+    eng = Engine("exact", use_pallas=False)
+    eng._device_entropy = True
+    dev = eng.decompress_batch(streams)
+    eng._device_entropy = False
+    host = eng.decompress_batch(streams)
+    assert np.array_equal(dev, host)
+
+
 def test_device_entropy_odd_true_dims_crop():
     """Full engine path with odd true dims: crop contract holds."""
     from tinyimgcodec_tpu.engine import Engine

@@ -432,27 +432,35 @@ class Engine:
     def _build_device_decode(self, b: int, nb: int, wlen: int,
                              quality: int, precision: str, scaled: bool,
                              stride: int, max_symbols: int | None):
-        """One fused program: payload words -> pixel blocks.  Entropy
-        decode (ops/entropy_decode.py), inverse DPCM, dequant + IDCT --
-        no coefficients ever cross the host link."""
+        """Two programs: entropy decode (ops/entropy_decode.py) and the
+        transform half (inverse DPCM, dequant + IDCT) -- split so the
+        rare dense chunks that exhaust the first pass's symbol budget
+        can be re-decoded as a small SUBSET and merged on device before
+        one transform pass.  No coefficients ever cross the host link."""
         jax = self._jax
+        jnp = jax.numpy
 
         from .ops.entropy_decode import entropy_decode_chunks
 
-        def run(words, starts, blocks_c, bases, lo, hi):
-            zz, ok, exhausted = entropy_decode_chunks(
+        def entropy(words, starts, blocks_c, bases, lo, hi):
+            return entropy_decode_chunks(
                 words, starts, blocks_c, bases, lo, hi,
                 nb_total=b * nb, stride=stride, max_symbols=max_symbols,
             )
+
+        def merge(zz, zz_sub, blk_mask):
+            return jnp.where(blk_mask[:, None], zz_sub, zz)
+
+        def xform(zz):
             zzb = zz.reshape(b, nb, 64)
             zz_abs = transform.undo_dpcm(zzb[..., 0], zzb[..., 1:])
             blocks, flags = transform.decode_blocks(
                 zz_abs, quality, precision, scaled_dct=scaled,
                 with_flags=True,
             )
-            return blocks, flags, ok, exhausted, zz_abs
+            return blocks, flags, zz_abs
 
-        return jax.jit(run)
+        return jax.jit(entropy), jax.jit(merge), jax.jit(xform)
 
     def _decompress_batch_device(self, streams: list[bytes]):
         """Uniform TICX standard-table streams -> (B, H, W) uint8, with
@@ -477,32 +485,50 @@ class Engine:
         words = np.zeros(bucket, np.uint32)
         words[:wl] = prep["words"]
         stride = prep["stride"]
-        args = (
-            jnp.asarray(words),
-            jnp.asarray(prep["chunk_start"]),
-            jnp.asarray(prep["chunk_blocks"]),
-            jnp.asarray(prep["chunk_block_base"]),
-            jnp.asarray(prep["chunk_end_lo"]),
-            jnp.asarray(prep["chunk_end_hi"]),
-        )
-        # two-round symbol budget: the slot buffers (and the post-chain
-        # phases, O(budget * chunks)) size to typical content; the rare
-        # denser-than-budget chunk triggers one worst-case rerun
-        budget = min(stride * 32 + 2, stride * 68 + 2)
-        fn = self._devdec_fn(
+        dev_words = jnp.asarray(words)
+        chunk_keys = ("chunk_start", "chunk_blocks", "chunk_block_base",
+                      "chunk_end_lo", "chunk_end_hi")
+        args = tuple(jnp.asarray(prep[k]) for k in chunk_keys)
+        # Small-budget first pass: the slot buffers (and the post-chain
+        # phases, O(budget * chunks)) size to TYPICAL content (~12
+        # symbols/block covers q<=50; the legal worst case is 68).  The
+        # rare denser chunks are re-decoded as a SUBSET at the worst
+        # case and merged on device -- measured 116 vs 46 MP/s on the
+        # q=50 corpus vs a single always-sufficient-budget pass
+        # (reports/perf_breakdown_r04.md).
+        budget = min(stride * 12 + 2, stride * 68 + 2)
+        entropy, merge, xform = self._devdec_fn(
             b, nb, bucket, int(quality), self.precision, scaled,
             stride, budget,
         )
-        blocks, flags, ok, exhausted, zz_abs = fn(*args)
-        if budget < stride * 68 + 2 and bool(
-            np.asarray(exhausted).any()
-        ):
-            fn = self._devdec_fn(
+        zz, ok, exhausted = entropy(dev_words, *args)
+        ok_np, exh_np = self._jax.device_get((ok, exhausted))
+        if exh_np.any():
+            idx = np.flatnonzero(exh_np)
+            k2 = 1 << max(0, int(len(idx) - 1).bit_length())
+            idx_p = np.concatenate(
+                [idx, np.full(k2 - len(idx), idx[0])]
+            )
+            entropy_full = self._devdec_fn(
                 b, nb, bucket, int(quality), self.precision, scaled,
                 stride, None,
-            )
-            blocks, flags, ok, exhausted, zz_abs = fn(*args)
-        ok_np = np.asarray(ok)
+            )[0]
+            sub_np = {k: prep[k][idx_p].copy() for k in chunk_keys}
+            # pow2 padding duplicates chunk idx[0]; a duplicate decode
+            # would scatter-ADD its blocks twice, so dead-pad instead
+            sub_np["chunk_blocks"][len(idx):] = 0
+            sub = tuple(jnp.asarray(sub_np[k]) for k in chunk_keys)
+            zz_sub, ok_sub, _ = entropy_full(dev_words, *sub)
+            blk_mask = np.zeros(b * nb, bool)
+            for ci in idx:
+                base = int(prep["chunk_block_base"][ci])
+                blk_mask[base : base + int(prep["chunk_blocks"][ci])] = (
+                    True
+                )
+            zz = merge(zz, zz_sub, jnp.asarray(blk_mask))
+            ok_np = ok_np.copy()
+            ok_np[idx] = np.asarray(ok_sub)[: len(idx)]
+        blocks, flags, zz_abs = xform(zz)
         flags_np = np.asarray(flags).reshape(-1)
         if flags_np.any():
             # truncation-boundary pixels: host float64 recompute of the

@@ -236,6 +236,14 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool,
              zrow.astype(jnp.int32)],
             axis=0,
         )  # (SROWS, bt)
+        # slot-offset exclusive cumsum, 7 log-doubling rolls over the
+        # full (72, bt) scratch.  A band-gated variant (8-row bands
+        # skipped past the tile's last nonzero, same trick as the
+        # banded emit) measured NEUTRAL on fast (3727 vs 3723 MP/s)
+        # and 14% WORSE on exact (2308 vs 2688) on a v5e -- the
+        # per-band lax.cond costs more than the skipped rolls save
+        # here; reverted (reports/perf_breakdown_r04.md).
+        last = jnp.max(jnp.where(nzm, posr, -1))
         srow = jax.lax.broadcasted_iota(jnp.int32, (SROWS, bt), 0)
         csum = slen
         for d in (1, 2, 4, 8, 16, 32, 64):
@@ -332,7 +340,6 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool,
         # coefficient have zero payload rows, so the loop stops there
         # (~4 iterations at quality 50 instead of 64/EMIT_UNROLL); EOB
         # (slot 64, always present) is placed by one static step.
-        last = jnp.max(jnp.where(nzm, posr, -1))
         nit = (last + 2 + EMIT_UNROLL - 1) // EMIT_UNROLL
         accs = jax.lax.fori_loop(
             0, nit, emit,
