@@ -236,13 +236,14 @@ def _make_kernel(quality: int, nb: int, bt: int, from_zz: bool,
              zrow.astype(jnp.int32)],
             axis=0,
         )  # (SROWS, bt)
-        # slot-offset exclusive cumsum, 7 log-doubling rolls over the
-        # full (72, bt) scratch.  A band-gated variant (8-row bands
-        # skipped past the tile's last nonzero, same trick as the
-        # banded emit) measured NEUTRAL on fast (3727 vs 3723 MP/s)
-        # and 14% WORSE on exact (2308 vs 2688) on a v5e -- the
-        # per-band lax.cond costs more than the skipped rolls save
-        # here; reverted (reports/perf_breakdown_r04.md).
+        # slot-offset exclusive cumsum: 7 log-doubling rolls over the
+        # (72, bt) scratch.  Two alternatives measured on a v5e and
+        # reverted (reports/perf_breakdown_r04.md): band-gating by the
+        # tile's last-nonzero bound (neutral fast, 14% worse exact --
+        # per-band lax.conds cost more than the skipped rolls), and a
+        # lower-triangular bf16 MXU matmul tri @ slen (bit-exact, but
+        # neutral: 3671 vs ~3700 MP/s -- the staging writes, not the
+        # rolls, are this block's cost).
         last = jnp.max(jnp.where(nzm, posr, -1))
         srow = jax.lax.broadcasted_iota(jnp.int32, (SROWS, bt), 0)
         csum = slen
