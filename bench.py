@@ -464,6 +464,26 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"encode api modes FAILED: {type(e).__name__}: {e}")
 
+    # large-image config (BASELINE config 4): ONE 4K image through the
+    # same fused kernels -- sustained on-device rate, k-loop discipline
+    try:
+        with _alarm(900):
+            big = np.concatenate(
+                np.split(
+                    np.concatenate(np.split(images[:16], 4), axis=2), 4
+                ),
+                axis=1,
+            ).reshape(1, 2048, 2048)
+            big4k = np.tile(big, (1, 2, 2))[:, :4096, :4096]
+            results["pallas-fast/4k-device"] = bench_device(
+                np.ascontiguousarray(big4k), quality, "fast", k=50
+            )
+            _persist_partial(results)
+            log(f"encode pallas-fast/4k-device: "
+                f"{results['pallas-fast/4k-device']:.1f} MP/s")
+    except Exception as e:  # pragma: no cover
+        log(f"encode 4k FAILED: {type(e).__name__}: {e}")
+
     for name, precision, assemble, reps, stg in [
         ("xla-fast/device/staged", "fast", "device", 3, staged),
         ("exact/host/e2e", "exact", "host", 1, None),

@@ -226,6 +226,28 @@ def test_capacity_boundary_sharded_exact():
         assert out == refs, f"cap_words_local={cap} (needs={needs})"
 
 
+def test_compiled_small_batch_raises_not_tileable():
+    """Multi-image batches whose tile is neither a 128-multiple nor the
+    whole block count cannot lower on real TPUs (Mosaic's 128-lane
+    block rule -- interpret mode never checks it; found by the round-4
+    hardware adversarial sweep).  The compiled path must raise the
+    "not tileable" marker the API fallback keys on BEFORE building any
+    kernel; single images (tile == whole count) stay eligible."""
+    from tinyimgcodec_tpu.pallas_pipeline import compress_batch_pallas
+
+    imgs = np.stack([_noise(64, 64, seed=s) for s in range(7)])
+    with pytest.raises(ValueError, match="not tileable"):
+        compress_batch_pallas(
+            imgs, quality=50, precision="exact", interpret=False
+        )
+    # the public API falls back to the XLA batch and stays byte-exact
+    from tinyimgcodec_tpu import api
+
+    out = api.compress_batch(imgs, quality=50, precision="exact")
+    refs = [container.compress(im, quality=50) for im in imgs]
+    assert out == refs
+
+
 def test_stream_path_near_capacity_exact():
     """compress_stream at DEFAULT settings on high-entropy input."""
     from tinyimgcodec_tpu.parallel.stream import compress_stream

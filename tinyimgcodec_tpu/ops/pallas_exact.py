@@ -217,6 +217,31 @@ def _build(quality: int, bt: int, n: int, interpret: bool,
     return call
 
 
+def _legal_bt(n: int, bt: int) -> int:
+    """Clamp the lane-tile size to what Mosaic accepts.
+
+    The coefficient-major specs tile the LANE dimension, which must be a
+    multiple of 128 or the whole array (the Pallas TPU block rule;
+    interpret mode never checks it -- the round-4 hardware adversarial
+    sweep caught a 7x64-block batch crashing on the chip with bt=64).
+    Unlike the entropy kernels, the transform carries no cross-block
+    state, so tiles may freely span image boundaries: any divisor of n
+    works.
+    """
+    bt = min(bt, n)
+    if n % bt == 0 and (bt % 128 == 0 or bt == n):
+        return bt
+    for t in (512, 256, 128):
+        if n % t == 0:
+            return t
+    if n <= 4096:  # whole-array single tile (small batches)
+        return n
+    raise ValueError(
+        f"N={n} blocks not tileable for the exact transform "
+        "(no 128-multiple divisor)"
+    )
+
+
 def exact_transform_pallas(
     blocks: jnp.ndarray, quality: int, bt: int = 512,
     interpret: bool = False,
@@ -224,8 +249,6 @@ def exact_transform_pallas(
     """(N, 8, 8)/(N, 64) int blocks -> (N, 64) int32 quantized zig-zag
     coefficients with double-float (reference-grade) rounding."""
     n = blocks.shape[0]
-    if n % bt:
-        raise ValueError(f"N={n} not a multiple of tile {bt}")
     x = blocks.reshape(n, 64).astype(jnp.int32).T  # (64, N)
     return exact_transform_pallas_cm(x, quality, bt, interpret).T
 
@@ -244,8 +267,7 @@ def exact_transform_pallas_cm(
     reach byte identity; see pallas_pipeline.compress_batch_pallas).
     """
     n = x_cm.shape[1]
-    if n % bt:
-        raise ValueError(f"N={n} not a multiple of tile {bt}")
+    bt = _legal_bt(n, bt)
     call = _build(int(quality), int(bt), n, interpret, with_flags)
     return call(x_cm.astype(jnp.int32))
 
@@ -268,8 +290,7 @@ def exact_transform_pallas_u32(
     kernel's input DMA (u32 words vs widened int32).
     """
     n = x32.shape[0]
-    if n % bt:
-        raise ValueError(f"N={n} not a multiple of tile {bt}")
+    bt = _legal_bt(n, bt)
     call = _build(int(quality), int(bt), n, interpret, with_flags,
                   from_u32=True)
     return call(x32)

@@ -277,6 +277,17 @@ def compress_batch_pallas(
         bt //= 2
         if bt < 8:
             raise ValueError(f"total blocks {n} not tileable")
+    # Mosaic's block rule: lane-tiled (1, bt) inputs need bt % 128 == 0
+    # or a single whole-array tile (bt == n).  Interpret mode never
+    # checks this -- the round-4 hardware adversarial sweep caught a
+    # multi-image small-nb batch crashing on the chip.  Such batches
+    # fall back to the XLA pipeline ("not tileable" is the marker the
+    # API fallback keys on); single images (bt == nb == n) are exempt.
+    if not interpret and bt % 128 and bt != n:
+        raise ValueError(
+            f"total blocks {n} not tileable for compiled pallas "
+            f"(tile {bt} violates the 128-lane block rule)"
+        )
     cap_words = -(-int(b * h * w * bits_per_pixel_budget) // 32)
 
     if block_index and version != "v2":

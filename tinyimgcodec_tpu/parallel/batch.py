@@ -457,6 +457,13 @@ def compress_batch_pallas_sharded(
         bt_eff //= 2
         if bt_eff < 8:
             raise ValueError("shard block count not tileable")
+    if not interpret and bt_eff % 128 and bt_eff != n_blocks_local:
+        # Mosaic's 128-lane block rule (see pallas_pipeline); compiled
+        # shards with small non-128-multiple tiles cannot lower
+        raise ValueError(
+            "shard block count not tileable for compiled pallas "
+            f"(tile {bt_eff} violates the 128-lane block rule)"
+        )
     cap_local = max(
         -(-int(b_local * h8 * w8 * bits_per_pixel_budget) // 32), 256
     )

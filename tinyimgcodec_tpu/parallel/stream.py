@@ -71,10 +71,24 @@ def compress_stream(
     from ..pallas_pipeline import compress_batch_pallas
 
     def encode(staged, count: int, true_shape) -> list[bytes]:
-        out = compress_batch_pallas(
-            None, quality=quality, staged=staged, precision=precision,
-            bt=bt, interpret=interpret, true_shape=true_shape,
-        )
+        try:
+            out = compress_batch_pallas(
+                None, quality=quality, staged=staged,
+                precision=precision, bt=bt, interpret=interpret,
+                true_shape=true_shape,
+            )
+        except ValueError as e:
+            if "not tileable" not in str(e):
+                raise
+            # chunk shape the compiled kernels cannot tile (e.g. small
+            # images, Mosaic's 128-lane block rule): host golden path,
+            # same bytes contract.  Crop back to the true dims -- the
+            # oracle re-applies the identical reflect padding.
+            from .. import container
+
+            th, tw = true_shape
+            host = np.asarray(staged)[:, :th, :tw]
+            out = [container.compress(im, quality) for im in host]
         return out[:count]
 
     prev: tuple[object, int, tuple[int, int]] | None = None
