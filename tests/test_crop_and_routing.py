@@ -137,3 +137,29 @@ def test_api_compress_batch_host_backend():
     out = api.compress_batch(imgs, quality=50, backend="host")
     for data, img in zip(out, imgs):
         assert data == container.compress(img, 50)
+
+
+def test_decompress_stream_roundtrip_mixed_shapes():
+    """decompress_stream: the decode dual of compress_stream -- chunks
+    group by (shape, quality, flags), shape changes flush, output order
+    matches input order, bytes decode to the oracle's pixels."""
+    import numpy as np
+
+    from tinyimgcodec_tpu import container
+    from tinyimgcodec_tpu.parallel.stream import decompress_stream
+    from conftest import synthetic_image
+
+    imgs = [
+        synthetic_image(64, 64, seed=1),
+        synthetic_image(64, 64, seed=2),
+        synthetic_image(48, 40, seed=3),   # shape change flushes
+        synthetic_image(64, 64, seed=4),
+        synthetic_image(64, 64, seed=5),
+        synthetic_image(64, 64, seed=6),
+    ]
+    streams = [container.compress(im, quality=50) for im in imgs]
+    streams[4] = container.compress(imgs[4], quality=75)  # quality flush
+    out = list(decompress_stream(streams, chunk=2))
+    assert len(out) == len(imgs)
+    for s, dec in zip(streams, out):
+        assert np.array_equal(dec, container.decompress(s))

@@ -103,3 +103,46 @@ def compress_stream(
         prev = (staged, count, true_shape)
     if prev is not None:
         yield from encode(*prev)
+
+
+def decompress_stream(
+    streams: "Iterable[bytes]",
+    chunk: int = 8,
+    precision: str = "exact",
+) -> "Iterator[np.ndarray]":
+    """Decode a stream of compressed images, yielding uint8 arrays.
+
+    The decode dual of :func:`compress_stream` (the reference's C
+    encoder streams row bands, c/encode.c:47-59; nothing streams on its
+    decode side).  Streams are decoded in same-shaped chunks through
+    ``Engine.decompress_batch`` -- on TPU backends TICX-indexed chunks
+    run the chunk-parallel device entropy decoder -- and JAX's async
+    dispatch overlaps chunk i+1's upload with chunk i's pull.  Shapes
+    may vary across the stream: a shape change flushes the current
+    chunk (each chunk must be uniform).
+    """
+    from ..engine import Engine
+
+    eng = Engine(precision)
+
+    def flush(buf: list[bytes]):
+        if not buf:
+            return
+        if len(buf) == 1:
+            yield eng.decompress(buf[0])
+        else:
+            yield from eng.decompress_batch(buf)
+
+    from .. import container
+
+    buf: list[bytes] = []
+    key: tuple | None = None
+    for data in streams:
+        h, w, q, flag = container.parse_header(data)
+        k = (h, w, q, flag)
+        if key is not None and (k != key or len(buf) >= chunk):
+            yield from flush(buf)
+            buf = []
+        key = k
+        buf.append(data)
+    yield from flush(buf)
