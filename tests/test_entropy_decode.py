@@ -213,3 +213,40 @@ def test_device_entropy_odd_true_dims_crop():
     out = eng.decompress_batch([s])
     assert out.shape == (1, 60, 52)
     assert np.array_equal(out[0], container.decompress(s))
+
+
+def test_decompress_batch_sharded_parity():
+    """Sharded decode over the 8-device mesh: entropy + transform per
+    shard, output identical to the host oracle; corrupt and flagged
+    images degrade per image."""
+    from tinyimgcodec_tpu.parallel.batch import decompress_batch_sharded
+    from tinyimgcodec_tpu.constants import HEADER_BYTES
+
+    imgs = [synthetic_image(64, 64, seed=40 + i) for i in range(16)]
+    streams = [
+        container.compress(im, quality=50, block_index=True)
+        for im in imgs
+    ]
+    out = decompress_batch_sharded(streams)
+    assert out is not None and out.shape == (16, 64, 64)
+    gold = np.stack([container.decompress(s) for s in streams])
+    assert np.array_equal(out, gold)
+
+    # corrupt one stream: that image degrades via the host decoder,
+    # everything else is untouched
+    mut = bytearray(streams[5])
+    mut[HEADER_BYTES + 30] ^= 0xFF
+    streams2 = list(streams)
+    streams2[5] = bytes(mut)
+    out2 = decompress_batch_sharded(streams2)
+    gold2 = np.stack([container.decompress(s) for s in streams2])
+    assert np.array_equal(out2, gold2)
+
+    # non-indexed batches are ineligible -> None (caller falls back)
+    plain = [container.compress(im, quality=50) for im in imgs]
+    assert decompress_batch_sharded(plain) is None
+
+    # batch not divisible by the mesh: padding streams are dropped
+    out3 = decompress_batch_sharded(streams[:11])
+    assert out3.shape == (11, 64, 64)
+    assert np.array_equal(out3, gold[:11])

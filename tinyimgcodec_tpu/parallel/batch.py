@@ -516,3 +516,129 @@ def compress_batch_pallas_sharded(
         )
         out.append(header + raw[s:e])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sharded decode: TICX device entropy decode + transform over the mesh
+# ---------------------------------------------------------------------------
+
+@functools.cache
+def _build_decode_sharded(mesh_key, per: int, nb: int, bucket: int,
+                          c_max: int, quality: int, precision: str,
+                          scaled: bool, stride: int, h8: int, w8: int):
+    """Data-parallel decode body: each device entropy-decodes and
+    inverse-transforms its shard of streams (ops/entropy_decode.py is
+    pure XLA, so the same program runs on any backend)."""
+    ensure_cache()
+    mesh = mesh_key.mesh
+    axis = mesh.axis_names[0]
+
+    from ..ops.entropy_decode import entropy_decode_chunks
+
+    def body(words, cs, cb, cbb, lo, hi):  # leading local shard dim 1
+        zz, ok, _ = entropy_decode_chunks(
+            words[0], cs[0], cb[0], cbb[0], lo[0], hi[0],
+            nb_total=per * nb, stride=stride, max_symbols=None,
+        )
+        zzb = zz.reshape(per, nb, 64)
+        zz_abs = transform.undo_dpcm(zzb[..., 0], zzb[..., 1:])
+        blocks, flags = transform.decode_blocks(
+            zz_abs, quality, precision, scaled_dct=scaled,
+            with_flags=True,
+        )
+        imgs = transform.unblockify(blocks, h8, w8)
+        return (
+            imgs[None], ok[None], jnp.any(flags, axis=-1)[None],
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis),) * 6,
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
+
+
+def decompress_batch_sharded(
+    streams: list[bytes],
+    mesh: Mesh | None = None,
+    precision: str = transform.EXACT,
+) -> np.ndarray | None:
+    """Same-shaped TICX standard-table streams -> (B, H, W) uint8, with
+    entropy decode AND transform sharded over the mesh batch axis (the
+    decode dual of :func:`compress_batch_pallas_sharded`).
+
+    Returns None when the batch is ineligible (no/invalid trailers,
+    custom tables, non-uniform shapes) -- callers fall back to the
+    single-device or host paths.  Per-image degradation on corrupt
+    chunks and exact-tie pixels uses the host golden decoder, same
+    contract as Engine.decompress_batch.
+    """
+    from .. import container
+    from ..ops.entropy_decode import prepare_batch
+    from .mesh import make_mesh
+
+    if not streams:
+        return None
+    if mesh is None:
+        mesh = make_mesh()
+    n = mesh.devices.size
+    b = len(streams)
+    per = -(-b // n)
+    padded = list(streams) + [streams[-1]] * (per * n - b)
+    groups = [padded[i * per : (i + 1) * per] for i in range(n)]
+    preps = [prepare_batch(g) for g in groups]
+    if any(p is None for p in preps):
+        return None
+    p0 = preps[0]
+    if any(
+        (p["shape"], p["stride"], p["scaled_dct"])
+        != (p0["shape"], p0["stride"], p0["scaled_dct"])
+        for p in preps
+    ):
+        return None
+    h, w, quality = p0["shape"]
+    nb = p0["nb_per_image"]
+    stride = p0["stride"]
+    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+
+    wl = max(len(p["words"]) for p in preps)
+    bucket = 1 << max(10, (wl - 1).bit_length())
+    c_max = max(len(p["chunk_start"]) for p in preps)
+    words = np.zeros((n, bucket), np.uint32)
+    keys = ("chunk_start", "chunk_blocks", "chunk_block_base",
+            "chunk_end_lo", "chunk_end_hi")
+    # dead-pad extra chunk slots: zero blocks decode nothing and
+    # validate ok (cursor stays at start == end bounds)
+    chunk_arrs = {k: np.zeros((n, c_max), np.int32) for k in keys}
+    for i, p in enumerate(preps):
+        words[i, : len(p["words"])] = p["words"]
+        c = len(p["chunk_start"])
+        for k in keys:
+            chunk_arrs[k][i, :c] = p[k]
+    fn = _build_decode_sharded(
+        _MeshKey(mesh), per, nb, bucket, c_max, int(quality),
+        precision, bool(p0["scaled_dct"]), stride, h8, w8,
+    )
+    imgs, ok, flg = jax.device_get(fn(
+        words, *(chunk_arrs[k] for k in keys)
+    ))
+    # .copy(): device_get buffers can be read-only views and the
+    # degradation path below patches images in place
+    out = imgs.reshape(per * n, h8, w8)[:b, :h, :w].copy()
+    # degrade per image: corrupt chunks or exact-tie flagged blocks
+    for s_i in range(n):
+        bad_imgs = set()
+        okv = ok[s_i]
+        c = len(preps[s_i]["chunk_start"])
+        for ci in np.flatnonzero(~okv[:c]):
+            bad_imgs.add(int(preps[s_i]["chunk_img"][ci]))
+        for li in np.flatnonzero(flg[s_i]):
+            bad_imgs.add(int(li))
+        for li in bad_imgs:
+            gi = s_i * per + li
+            if gi < b:
+                out[gi] = container.decompress(padded[gi])
+    return out
