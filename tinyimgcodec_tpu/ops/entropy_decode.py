@@ -197,6 +197,27 @@ def entropy_decode_chunks(
     worst = int(stride) * MAX_BLOCK_SYMBOLS + 2
     s_cap = min(worst, max_symbols) if max_symbols else worst
 
+    # Chunk state lives as (8, ceil(C/8)) tiles: a 1-D (C,) int32 array
+    # occupies ~C/128 VPU tiles with one sublane used each, so every
+    # narrow chain op paid ~8x the tile work (the serial phase is
+    # dispatch/tile-bound, reports/perf_breakdown_r04.md).  Pad chunks
+    # to a sublane multiple with DEAD chunks (zero blocks decode
+    # nothing and validate ok: cursor stays at start == both end
+    # bounds).
+    c8 = -(-c // 8) * 8
+    crows, ccols = 8, c8 // 8
+
+    def shape2d(arr, fill=0):
+        flat = jnp.full((c8,), fill, jnp.int32)
+        flat = flat.at[:c].set(arr.astype(jnp.int32))
+        return flat.reshape(crows, ccols)
+
+    chunk_start = shape2d(chunk_start)
+    chunk_blocks = shape2d(chunk_blocks)
+    chunk_block_base = shape2d(chunk_block_base)
+    chunk_end_lo = shape2d(chunk_end_lo)
+    chunk_end_hi = shape2d(chunk_end_hi)
+
     # -- phase 0: packed per-window symbol table + window array --------
     # The serial phase is bound by per-op dispatch overhead and gather
     # locality, so it must be a handful of ops over SMALL tables:
@@ -232,21 +253,55 @@ def entropy_decode_chunks(
     ov32 = (hw << 16) | jnp.roll(hw, -1).at[-1].set(0)  # (2W,) int32
 
     # -- phase 1: chain following (the only serial part) ---------------
-    # per step: two small gathers, ~12 vector ops, one row write.  Slot
-    # record packs (pos, kind) into one int32.
+    # Per step: three small gathers, ~25 vector ops, one row write.
+    # The SYMBOL VALUE decodes in-chain and the record packs
+    # (value+0x8000, run, kind, eob) into one int32: narrow chain ops
+    # cost ~0.2 ms each over the whole pass while every 2.4M-slot
+    # post-pass gather costs ~15 ms, so trading one extra chain gather
+    # (the second window cell) for all three phase-2 gathers is a
+    # ~2x decode win (reports/perf_breakdown_r04.md).
     def step(state):
         i, pos, is_dc, left, pbuf = state
         live = left > 0
-        ov = jnp.take(ov32, pos >> 4, mode="clip")
-        w16 = (ov >> (16 - (pos & 15))) & 0xFFFF
+        cell = pos >> 4
+        s = (pos & 15).astype(jnp.uint32)
+        a = jnp.take(ov32, cell, mode="clip").astype(jnp.uint32)
+        bcell = jnp.take(ov32, cell + 1, mode="clip").astype(
+            jnp.uint32
+        )
+        w32 = jnp.where(
+            s == 0, a,
+            (a << s)
+            | ((bcell & jnp.uint32(0xFFFF)) >> (jnp.uint32(16) - s)),
+        )
         v = jnp.take(
-            info_tab, w16 + (is_dc.astype(jnp.int32) << 16),
+            info_tab,
+            (w32 >> 16).astype(jnp.int32)
+            + (is_dc.astype(jnp.int32) << 16),
             mode="clip",
         )
+        length = v & 31
+        size = (v >> 5) & 15
         eob = (v & (1 << 13)) != 0
+        mag_shift = jnp.clip(32 - length - size, 0, 31).astype(
+            jnp.uint32
+        )
+        mag = (
+            (w32 >> mag_shift)
+            & ((jnp.uint32(1)
+                << jnp.clip(size, 0, 31).astype(jnp.uint32)) - 1)
+        ).astype(jnp.int32)
+        value = _sign_extend(mag, size)
         kind = jnp.where(live, jnp.where(is_dc, 2, 1), 0)
-        rec = pos | (kind << 29)
-        pbuf = jax.lax.dynamic_update_slice(pbuf, rec[None], (i, 0))
+        rec = (
+            (value + 0x8000)
+            | (((v >> 9) & 15) << 16)          # run
+            | (kind << 20)
+            | (jnp.where(eob, 1, 0) << 22)
+        )
+        pbuf = jax.lax.dynamic_update_slice(
+            pbuf, rec[None], (i, 0, 0)
+        )
         pos = pos + jnp.where(live, v >> 14, 0)
         hit = live & eob
         left = left - hit
@@ -259,10 +314,10 @@ def entropy_decode_chunks(
 
     init = (
         jnp.int32(0),
-        chunk_start.astype(jnp.int32),
-        jnp.ones((c,), bool),
-        chunk_blocks.astype(jnp.int32),
-        jnp.zeros((s_cap, c), jnp.int32),
+        chunk_start,
+        jnp.ones((crows, ccols), bool),
+        chunk_blocks,
+        jnp.zeros((s_cap, crows, ccols), jnp.int32),
     )
     steps, pos_f, _, left_f, pbuf = jax.lax.while_loop(
         cond, step, init
@@ -270,41 +325,14 @@ def entropy_decode_chunks(
     exhausted = left_f > 0
     bad = exhausted
 
-    # -- phase 2: value decode over all recorded slots ----------------
-    # same packed table: 3 gathers per slot total (window cell pair +
-    # info), everything else wide arithmetic.
-    kbuf = (pbuf >> 29) & 3
-    slot_pos = pbuf & ((1 << 29) - 1)
+    # -- phase 2: unpack recorded slots (no gathers) -------------------
+    kbuf = (pbuf >> 20) & 3
     is_dc = kbuf == 2
     is_ac = kbuf == 1
     valid = kbuf != 0
-    j = slot_pos >> 4
-    s = (slot_pos & 15).astype(jnp.uint32)
-    a = jnp.take(ov32, j, mode="clip").astype(jnp.uint32)
-    b = jnp.take(ov32, j + 1, mode="clip").astype(jnp.uint32)
-    # cells overlap by 16 bits: the window's low s bits are the TOP s
-    # bits of b's LOW half (bits [16j+32, 16j+32+s))
-    wbuf = jnp.where(
-        s == 0, a,
-        (a << s) | ((b & jnp.uint32(0xFFFF)) >> (jnp.uint32(16) - s)),
-    )
-    info = jnp.take(
-        info_tab,
-        (wbuf >> 16).astype(jnp.int32)
-        + (is_dc.astype(jnp.int32) << 16),
-        mode="clip",
-    )
-    length = info & 31
-    size = (info >> 5) & 15
-    run = (info >> 9) & 15
-    eob = is_ac & ((info & (1 << 13)) != 0)
-    mag_shift = (32 - length - size).astype(jnp.uint32)
-    mag = (
-        (wbuf >> jnp.clip(mag_shift, 0, 31))
-        & ((jnp.uint32(1) << jnp.clip(size, 0, 31).astype(jnp.uint32))
-           - 1)
-    ).astype(jnp.int32)
-    value = _sign_extend(mag, size)
+    value = (pbuf & 0xFFFF) - 0x8000
+    run = (pbuf >> 16) & 15
+    eob = is_ac & (((pbuf >> 22) & 1) != 0)
 
     # -- phase 3: reassembly ------------------------------------------
     # block index within chunk: running count of DC slots - 1
@@ -318,15 +346,30 @@ def entropy_decode_chunks(
     zz_pos = jnp.where(is_dc, 0, cum - base)
 
     write = valid & ~eob
-    blk = chunk_block_base[None, :] + blk_in_chunk
+    blk = chunk_block_base[None] + blk_in_chunk
     pos_ok = (zz_pos >= 0) & (zz_pos <= 63)
     blk_ok = (blk >= 0) & (blk < nb_total)
     good = write & pos_ok & blk_ok
-    flat = jnp.where(good, blk * 64 + zz_pos, nb_total * 64)
+    # Scatter with a globally SORTED index stream so XLA can drop the
+    # serial generic-scatter path (measured as the dominant decode
+    # cost, reports/perf_breakdown_r04.md).  Within a chunk, valid
+    # targets are strictly increasing (monotone coefficient positions
+    # over ascending blocks) and chunk block ranges ascend with chunk
+    # order; invalid slots (EOB, dead) repeat the chunk's LAST valid
+    # index via a running max, adding 0 there -- every live chunk's
+    # step-0 slot is a valid DC write, so no -1 survives except in
+    # dead-pad chunks, which sit at the END of chunk order and map to
+    # the discard sentinel.
+    flat = jnp.where(good, blk * 64 + zz_pos, -1)
+    flat = jax.lax.cummax(flat, axis=0)
+    flat = jnp.where(flat < 0, nb_total * 64, flat)
+    flat_cm = jnp.transpose(flat, (1, 2, 0)).reshape(-1)
+    val_cm = jnp.transpose(
+        jnp.where(good, value, 0), (1, 2, 0)
+    ).reshape(-1)
     zz = jnp.zeros((nb_total * 64 + 1,), jnp.int32)
-    zz = zz.at[flat.reshape(-1)].add(
-        jnp.where(good, value, 0).reshape(-1),
-        mode="drop", unique_indices=False,
+    zz = zz.at[flat_cm].add(
+        val_cm, mode="drop", indices_are_sorted=True,
     )
     zz = zz[:-1].reshape(nb_total, 64)
 
@@ -335,7 +378,7 @@ def entropy_decode_chunks(
     blocks_done = jnp.sum(is_dc.astype(jnp.int32), axis=0)
     bad = bad | (blocks_done != chunk_blocks)
     bad = bad | (pos_f < chunk_end_lo) | (pos_f > chunk_end_hi)
-    return zz, ~bad, exhausted
+    return zz, (~bad).reshape(-1)[:c], exhausted.reshape(-1)[:c]
 
 
 def prepare_batch(streams: list[bytes]):
