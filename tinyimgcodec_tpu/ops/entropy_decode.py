@@ -260,15 +260,23 @@ def entropy_decode_chunks(
     # post-pass gather costs ~15 ms, so trading one extra chain gather
     # (the second window cell) for all three phase-2 gathers is a
     # ~2x decode win (reports/perf_breakdown_r04.md).
+    # adjacent cell pairs in one row so the chain's window needs ONE
+    # gather of a contiguous 2-element slice instead of two scattered
+    # single-element gathers
+    ovpair = jnp.stack(
+        [ov32, jnp.roll(ov32, -1).at[-1].set(0)], axis=1
+    )  # (2W, 2)
+
     def step(state):
         i, pos, is_dc, left, pbuf = state
         live = left > 0
         cell = pos >> 4
         s = (pos & 15).astype(jnp.uint32)
-        a = jnp.take(ov32, cell, mode="clip").astype(jnp.uint32)
-        bcell = jnp.take(ov32, cell + 1, mode="clip").astype(
+        pair = jnp.take(ovpair, cell, axis=0, mode="clip").astype(
             jnp.uint32
         )
+        a = pair[..., 0]
+        bcell = pair[..., 1]
         w32 = jnp.where(
             s == 0, a,
             (a << s)
