@@ -222,7 +222,7 @@ def bench_decode_entropy_device(streams, k=50, budget_mult=32):
     def step(words):
         zz, ok, _ = entropy_decode_chunks(
             words, *consts, nb_total=b * nb, stride=stride,
-            max_symbols=stride * budget_mult + 2,
+            max_symbols=stride * budget_mult + 2, layout=(b, nb),
         )
         zzb = zz.reshape(b, nb, 64)
         zz_abs = transform.undo_dpcm(zzb[..., 0], zzb[..., 1:])

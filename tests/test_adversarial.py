@@ -244,7 +244,10 @@ def test_compiled_small_batch_raises_not_tileable():
     from tinyimgcodec_tpu import api
 
     out = api.compress_batch(imgs, quality=50, precision="exact")
-    refs = [container.compress(im, quality=50) for im in imgs]
+    refs = [
+        container.compress(im, quality=50, block_index=True)
+        for im in imgs
+    ]
     assert out == refs
 
 
@@ -253,7 +256,10 @@ def test_stream_path_near_capacity_exact():
     from tinyimgcodec_tpu.parallel.stream import compress_stream
 
     imgs = [_noise(64, 64, seed=s) for s in (7, 8, 9)]
-    refs = [container.compress(im, quality=50) for im in imgs]
+    refs = [
+        container.compress(im, quality=50, block_index=True)
+        for im in imgs
+    ]
     out = list(
         compress_stream(imgs, quality=50, precision="exact", chunk=2,
                         interpret=True)

@@ -38,7 +38,8 @@ def test_config_object_round_trip(small_image):
     data = api.compress(small_image, config=cfg)
     out = api.decompress(data)
     assert out.shape == small_image.shape
-    assert data == container.compress(small_image, 75)
+    # block_index now defaults ON at this boundary (round-4 verdict #2)
+    assert data == container.compress(small_image, 75, block_index=True)
 
 
 def test_engine_failure_warns_and_jax_reraises(small_image, monkeypatch):
@@ -57,7 +58,7 @@ def test_engine_failure_warns_and_jax_reraises(small_image, monkeypatch):
     monkeypatch.setattr(engine_mod, "Engine", _Broken)
     with pytest.warns(RuntimeWarning, match="host path"):
         data = api.compress(small_image, quality=50, backend="auto")
-    assert data == container.compress(small_image, 50)
+    assert data == container.compress(small_image, 50, block_index=True)
     with pytest.raises(RuntimeError) as ei:
         api.compress(small_image, quality=50, backend="jax")
     assert ei.value.__cause__ is boom

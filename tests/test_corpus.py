@@ -89,7 +89,7 @@ def test_engine_byte_identity_corpus_subset(quality):
     eng = Engine()
     for img in corpus.load_corpus(limit=4):
         assert eng.compress(img, quality) == container.compress(
-            img, quality
+            img, quality, block_index=True
         )
 
 

@@ -61,7 +61,8 @@ def test_compress_stream_exact_matches_container():
         )
     )
     for data, img in zip(out, imgs):
-        assert data == container.compress(img, 50)
+        # stream output now carries the TICX trailer by default
+        assert data == container.compress(img, 50, block_index=True)
 
 
 def _pallas_engine(precision):
@@ -73,7 +74,9 @@ def test_engine_pallas_routing_exact_bytes(shape):
     img = synthetic_image(*shape, seed=21)
     eng = _pallas_engine("exact")
     assert eng._pallas_compatible(img)
-    assert eng.compress(img, 50) == container.compress(img, 50)
+    assert eng.compress(img, 50) == container.compress(
+        img, 50, block_index=True
+    )
 
 
 def test_engine_pallas_fallback_untileable_shape():
@@ -82,7 +85,9 @@ def test_engine_pallas_fallback_untileable_shape():
     img = synthetic_image(72, 72, seed=22)
     eng = _pallas_engine("exact")
     assert not eng._pallas_compatible(img)
-    assert eng.compress(img, 50) == container.compress(img, 50)
+    assert eng.compress(img, 50) == container.compress(
+        img, 50, block_index=True
+    )
 
 
 @pytest.mark.parametrize("precision", ["fast", "exact"])
@@ -90,7 +95,7 @@ def test_engine_pallas_block_index(precision):
     img = synthetic_image(64, 80, seed=23)
     eng = _pallas_engine(precision)
     data = eng.compress(img, 50, block_index=True)
-    plain = eng.compress(img, 50)
+    plain = eng.compress(img, 50, block_index=False)
     nb = (64 // 8) * (80 // 8)
     idx = container.parse_block_index(data, nb)
     assert idx is not None
@@ -118,7 +123,7 @@ def test_api_compress_batch_matches_container():
     imgs = np.stack([synthetic_image(64, 64, seed=s) for s in (31, 32)])
     out = api.compress_batch(imgs, quality=50, precision="exact")
     for data, img in zip(out, imgs):
-        assert data == container.compress(img, 50)
+        assert data == container.compress(img, 50, block_index=True)
 
 
 def test_api_decompress_batch_roundtrip():
@@ -136,7 +141,7 @@ def test_api_compress_batch_host_backend():
     imgs = np.stack([synthetic_image(24, 24, seed=s) for s in (33, 34)])
     out = api.compress_batch(imgs, quality=50, backend="host")
     for data, img in zip(out, imgs):
-        assert data == container.compress(img, 50)
+        assert data == container.compress(img, 50, block_index=True)
 
 
 def test_decompress_stream_roundtrip_mixed_shapes():

@@ -250,3 +250,102 @@ def test_decompress_batch_sharded_parity():
     out3 = decompress_batch_sharded(streams[:11])
     assert out3.shape == (11, 64, 64)
     assert np.array_equal(out3, gold[:11])
+
+
+def test_decompress_batch_sharded_per_block_tie_patch(monkeypatch):
+    """An exact-tie flagged block patches PER BLOCK (host entropy
+    arrays + one block's float64 IDCT) without re-decoding the whole
+    image through container.decompress (round-4 verdict weak #6).
+    Constant images make every decoded pixel sit on the truncation
+    boundary, so their blocks are guaranteed to flag."""
+    from tinyimgcodec_tpu.parallel.batch import decompress_batch_sharded
+
+    imgs = [synthetic_image(64, 64, seed=60 + i) for i in range(7)]
+    imgs.insert(3, np.full((64, 64), 129, np.uint8))  # ties for sure
+    streams = [
+        container.compress(im, quality=50, block_index=True)
+        for im in imgs
+    ]
+    gold = np.stack([container.decompress(s) for s in streams])
+
+    calls = []
+    real = container.decompress
+    monkeypatch.setattr(
+        container, "decompress",
+        lambda data: calls.append(1) or real(data),
+    )
+    out = decompress_batch_sharded(streams)
+    assert out is not None
+    assert np.array_equal(out, gold)
+    # no corrupt chunks here: the whole-image host fallback must not run
+    assert not calls
+
+
+def test_continuation_resume_matches_one_shot():
+    """Driving the chain with a TINY budget and resuming until done
+    (the engine's continuation scheme) must accumulate exactly the
+    one-shot decode: cursors, mid-block zig-zag positions and DPCM
+    structure all survive the cuts."""
+    rng = np.random.RandomState(23)
+    noise = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+    streams = [
+        container.compress(noise, quality=90, block_index=True,
+                           index_stride=8)
+    ]
+    prep = ed.prepare_batch(streams)
+    stride = prep["stride"]
+    consts = tuple(
+        jnp.asarray(prep[k])
+        for k in ("chunk_start", "chunk_blocks", "chunk_block_base",
+                  "chunk_end_lo", "chunk_end_hi")
+    )
+    words = jnp.asarray(prep["words"])
+    one_shot, ok0, ex0 = _decode_prep(prep)
+    assert ok0.all() and not ex0.any()
+
+    # budget far below the per-chunk need -> many resume rounds, each
+    # cutting mid-block
+    budget = 24
+    zz, ok, ex, st = ed.entropy_decode_chunks(
+        words, *consts, nb_total=prep["nb_total"],
+        stride=stride, max_symbols=budget, return_state=True,
+        layout=(1, prep["nb_per_image"]),
+    )
+    acc = np.asarray(zz).astype(np.int64)
+    rounds = 0
+    while np.asarray(ex).any():
+        rounds += 1
+        assert rounds < 40
+        zz, ok, ex, st = ed.entropy_decode_chunks(
+            words, *consts, nb_total=prep["nb_total"],
+            stride=stride, max_symbols=budget, resume=st,
+            return_state=True,
+        )
+        acc += np.asarray(zz)
+    assert rounds >= 2, "budget 24 must force multiple resume rounds"
+    assert np.asarray(ok).all()
+    assert np.array_equal(acc, one_shot)
+
+
+def test_engine_continuation_worst_case_escalation():
+    """Content dense enough that budget + one budgeted resume cannot
+    finish (q=95 noise, ~50 symbols/block vs 16+16): the engine's
+    final worst-case unpaired resume must run and stay parity-exact."""
+    from tinyimgcodec_tpu.engine import Engine
+
+    rng = np.random.RandomState(31)
+    noise = rng.randint(0, 256, (64, 64)).astype(np.uint8)
+    streams = [
+        container.compress(noise, quality=95, block_index=True)
+    ]
+    prep = ed.prepare_batch(streams)
+    stride = prep["stride"]
+    # confirm the content genuinely exceeds TWO budget rounds
+    _, _, ex1 = _decode_prep(prep, max_symbols=stride * 32 + 4)
+    assert ex1.any(), "q=95 noise should exceed 32 rows/block"
+    eng = Engine("exact", use_pallas=False)
+    eng._device_entropy = True
+    dev = eng.decompress_batch(streams)
+    eng._device_entropy = False
+    host = eng.decompress_batch(streams)
+    assert np.array_equal(dev, host)

@@ -72,13 +72,19 @@ def test_corrupt_custom_table_stream_degrades():
 
 
 def test_corrupt_index_trailer_degrades_to_serial():
-    data = bytearray(_valid_stream(seed=8, block_index=True))
+    # stride 16 gives nb=64 four chunks, so start+12 is a genuine
+    # INTERIOR chunk offset and the monotone/in-range offset validation
+    # (not just the length bookkeeping) is what must reject it
+    data = bytearray(
+        _valid_stream(seed=8, block_index=True, index_stride=16)
+    )
     ref = container.decompress(bytes(_valid_stream(seed=8)))
     # corrupt offsets inside the TICX trailer: parse must reject it and
     # decode must fall back to the serial cursor with identical output
     body_len = struct.unpack_from("<I", data, len(data) - 8)[0]
     start = len(data) - 8 - body_len
-    data[start + 12] ^= 0xFF  # second chunk offset
+    # second chunk offset -> huge: breaks offset monotonicity
+    struct.pack_into("<I", data, start + 12, 0xFFFFFFFF)
     nb = 64
     assert container.parse_block_index(bytes(data), nb) is None
     out = container.decompress(bytes(data))

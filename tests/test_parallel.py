@@ -148,7 +148,8 @@ def test_compress_stream_double_buffered():
     imgs = np.stack([synthetic_image(64, 64, seed=70 + i) for i in range(7)])
     got = list(compress_stream(iter(imgs), quality=50, chunk=3,
                                bt=64, interpret=True))
-    ref = compress_batch_pallas(imgs, 50, bt=64, interpret=True)
+    ref = compress_batch_pallas(imgs, 50, bt=64, interpret=True,
+                                block_index=True)
     assert len(got) == 7
     assert got == ref
 
@@ -158,7 +159,7 @@ def test_compress_stream_double_buffered():
     got_odd = list(compress_stream(odd, quality=50, chunk=2,
                                    bt=8, interpret=True))
     ref_odd = compress_batch_pallas(np.stack(odd), 50, bt=8,
-                                    interpret=True)
+                                    interpret=True, block_index=True)
     assert got_odd == ref_odd
     from tinyimgcodec_tpu import container as _c
 

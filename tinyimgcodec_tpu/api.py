@@ -66,7 +66,7 @@ def compress(
     auto_generate_huffman_table: bool = False,
     backend: str = "auto",
     precision: str = "exact",
-    block_index: bool = False,
+    block_index: bool | None = None,
     index_stride: int = 64,
     config: CodecConfig | None = None,
 ) -> bytes:
@@ -76,7 +76,11 @@ def compress(
     precision: "exact" (byte-identical to the float64 reference) or
     "fast" (f32 transform; rare rounding ties may differ).
     block_index: append the TICX block-offset trailer so decoders can
-    entropy-decode chunks in parallel (reference decoders ignore it).
+    entropy-decode chunks in parallel.  Default ON for standard-table
+    streams (None resolves per CodecConfig): the payload stays
+    byte-identical to the reference encoder's and reference decoders
+    ignore the trailer, at ~1.3% size cost (docs/FORMAT.md); pass
+    ``block_index=False`` for trailer-free bytes.
     config: a validated CodecConfig; overrides the loose kwargs.
     """
     if config is None:
@@ -114,7 +118,7 @@ def compress_batch(
     quality: int = 50,
     backend: str = "auto",
     precision: str = "exact",
-    block_index: bool = False,
+    block_index: bool | None = None,
     index_stride: int = 64,
 ) -> list[bytes]:
     """(B, H, W) same-shaped grayscale images -> list of compressed bytes.

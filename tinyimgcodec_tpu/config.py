@@ -18,7 +18,15 @@ class CodecConfig:
     quality: int = 50           # 1..99 (reference scale mapping)
     precision: str = "exact"    # "exact" (reference-bit-identical) | "fast"
     auto_huffman_table: bool = False  # embed frequency-optimal tables
-    block_index: bool = False   # append the TICX parallel-decode trailer
+    block_index: bool | None = None  # append the TICX parallel-decode
+    #                             trailer.  None (the default) resolves
+    #                             to ON for standard-table streams --
+    #                             the device entropy decoder needs it,
+    #                             it costs ~1.3% at stride 64, and
+    #                             reference decoders ignore it
+    #                             (docs/FORMAT.md) -- and OFF when
+    #                             auto_huffman_table is set (the trailer
+    #                             is standard-table-only).
     index_stride: int = 64      # blocks per TICX chunk (power of two);
     #                             smaller = more decode parallelism,
     #                             ~4*nb/stride trailer bytes per image
@@ -46,7 +54,18 @@ class CodecConfig:
                 f"index_stride must be a power of two, got "
                 f"{self.index_stride}"
             )
-        if self.block_index and self.auto_huffman_table:
+        if self.index_stride > 4096:
+            # the device decoder's worst-case rerun allocates
+            # stride * 68 slot rows per chunk; an unbounded stride would
+            # trade a clean fallback for a device OOM
+            raise ValueError(
+                f"index_stride must be <= 4096, got {self.index_stride}"
+            )
+        if self.block_index is None:
+            object.__setattr__(
+                self, "block_index", not self.auto_huffman_table
+            )
+        elif self.block_index and self.auto_huffman_table:
             raise ValueError(
                 "block_index is a standard-table-only feature; it cannot "
                 "be combined with auto_huffman_table (docs/FORMAT.md)"

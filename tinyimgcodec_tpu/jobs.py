@@ -82,8 +82,11 @@ class CorpusEncodeJob:
                 )
             from .parallel.batch import compress_batch
 
+            # block_index=True matches the public API's default-on
+            # trailer so sharded and single-device job outputs agree
             return compress_batch(
-                np.stack(batch), quality=self.quality, mesh=self._mesh
+                np.stack(batch), quality=self.quality, mesh=self._mesh,
+                block_index=True,
             )
         except Exception:
             if self.backend == "jax":

@@ -11,17 +11,17 @@ This module decodes all chunks of a whole batch of streams AT ONCE on
 the accelerator, with no Huffman LUT and no per-symbol host work:
 
 1. **Chain following** (the only serial part, vectorized across chunks):
-   every chunk carries a bit cursor; one ``lax.while_loop`` step decodes
-   one symbol PER CHUNK -- a 2-word gather at each cursor, a 32-bit
-   window build, and the canonical-code length computation done as 16
-   broadcast compares against the per-length ``maxcode`` table (T.81
-   Annex F.2.2.3's sequential loop, flattened into vector ops -- no
-   LUT, no gather).  Steps run until every chunk has finished its
-   blocks; each step records (window, kind) per chunk.
-2. **Value decode** (fully parallel over all recorded slots): category /
-   (run, size) from the same compare scheme, magnitude bits straight
-   from the recorded windows, JPEG one's-complement sign extension
-   (reference bitbuffer.py:61-65 semantics).
+   every chunk carries a bit cursor; each ``lax.while_loop`` iteration
+   decodes 2 * _UNROLL symbols PER CHUNK -- per symbol pair, one
+   contiguous 5-half-cell gather (80 bits from the cursor) plus two
+   dependent lookups in a packed 512 KB ``(mode, 16-bit window) ->
+   (len, size, run, EOB, advance)`` table, with values, signs (JPEG
+   one's-complement, reference bitbuffer.py:61-65) and record packing
+   done in-register.  Iterations run until every chunk has finished
+   its blocks, writing one record slab per iteration.
+2. **Record unpack** (fully parallel over all recorded slots, zero
+   gathers): the chain already decoded value/run/kind/EOB into each
+   record word.
 3. **Reassembly** (parallel scans): per-chunk running block counter
    (cumsum of DC slots) + intra-block zig-zag position via a
    reset-at-DC segmented cumsum (cummax trick), then one scatter into
@@ -54,6 +54,10 @@ from ..constants import (
 
 # absolute per-block symbol bound: 1 DC + 63 AC values + <=3 ZRL + EOB
 MAX_BLOCK_SYMBOLS = 68
+
+# pair-steps per while-loop iteration in the chain phase (each writes
+# 2 record rows); amortizes the slab write + cond reduce 2*_UNROLL x
+_UNROLL = 4
 
 
 @functools.cache
@@ -138,24 +142,6 @@ def _decode_symbol(w32, tables):
     return L, sym
 
 
-def _window32(words_u32, pos):
-    """32 payload bits starting at bit ``pos`` (big-endian bit order).
-
-    words_u32: (W,) uint32 payload words; pos int32 array.  Gather
-    indices are clipped -- out-of-range cursors (corrupt streams) read
-    the tail word and fail validation later."""
-    import jax.numpy as jnp
-
-    w = words_u32.shape[0]
-    widx = jnp.clip(pos >> 5, 0, w - 1)
-    sh = (pos & 31).astype(jnp.uint32)
-    hi = jnp.take(words_u32, widx)
-    lo = jnp.take(words_u32, jnp.clip(widx + 1, 0, w - 1))
-    return jnp.where(
-        sh == 0, hi, (hi << sh) | (lo >> (jnp.uint32(32) - sh))
-    )
-
-
 def entropy_decode_chunks(
     words,
     chunk_start,
@@ -166,6 +152,11 @@ def entropy_decode_chunks(
     nb_total: int,
     stride: int,
     max_symbols: int | None = None,
+    layout: tuple[int, int] | None = None,
+    paired: bool | None = None,
+    resume=None,
+    return_state: bool = False,
+    _return_records: bool = False,
 ):
     """Decode all chunks of a (multi-stream) payload word array.
 
@@ -178,24 +169,52 @@ def entropy_decode_chunks(
     offset for interior chunks; [payload_end-7, payload_end] for each
     image's last chunk).
 
-    max_symbols: per-chunk symbol budget sizing the slot buffers.  The
+    max_symbols: per-chunk slot-ROW budget sizing the record buffers (a
+    row holds one symbol, with <= 2 dead rows per chunk tail).  The
     legal worst case (stride * 68) is ~6x what natural content needs,
     and the post-chain phases cost O(budget * C), so callers run with a
     small budget first and retry at the worst case only when
     ``exhausted`` reports a chunk ran out (two-round decode).
 
+    layout: ``(images, nb_per_image)`` when the chunks follow
+    prepare_batch's canonical layout (uniform images; chunk k holds the
+    CONTIGUOUS ascending block range [base_k, base_k + blocks_k), full
+    ``stride``-block chunks except each image's last, dead pad chunks
+    only at the end).  Enables the scatter-free MXU-matmul reassembly;
+    pass None for arbitrary chunk subsets (the rerun path), which use
+    a sorted XLA scatter instead.
+
+    resume: ``(pos0, is_dc0, left0, zzcur0, wbad0)`` -- (C,) int32
+    arrays of per-chunk CONTINUATION state from a previous pass's
+    ``return_state=True`` output (bit cursor, 1 if the next symbol is a
+    DC, blocks still unfinished, zig-zag position of the last written
+    coefficient in the cut block, 1 if any earlier pass recorded an
+    invalid write for the chunk -- carried so a corrupt prefix still
+    fails validation after a clean-looking continuation).  A resumed pass decodes only the
+    REMAINING symbols of each chunk and its ``zz`` holds only the
+    coefficients it decoded -- callers ADD it to the prior pass's
+    output (coefficient sets are disjoint).  With resume, chunk_blocks
+    still carries each chunk's ORIGINAL total (for block indexing);
+    use layout=None (resumed subsets are not canonical).
+
     Returns (zz (nb_total, 64) int32 zig-zag coefficients with DPCM'd
     DC in column 0, ok (C,) bool per-chunk validation, exhausted (C,)
-    bool -- ran out of budget, retry with a larger one).  Traceable
-    under jit; everything stays on device.
+    bool -- ran out of budget, resume to finish[, state -- the
+    continuation tuple above, when return_state]).  Traceable under
+    jit; everything stays on device.
     """
     import jax
     import jax.numpy as jnp
 
     dc_tab, ac_tab = _decode_tables()
     c = chunk_start.shape[0]
+    # Slot ROWS: the pair-step chain decodes two symbols per step (the
+    # gathered 80-bit window always covers a legal symbol pair, <= 52
+    # bits), so rows track symbols exactly except for <= 2 dead rows at
+    # each chunk's tail (a chunk finishing mid-step or mid-slab).
     worst = int(stride) * MAX_BLOCK_SYMBOLS + 2
     s_cap = min(worst, max_symbols) if max_symbols else worst
+    s_cap = -(-s_cap // (2 * _UNROLL)) * (2 * _UNROLL)
 
     # Chunk state lives as (8, ceil(C/8)) tiles: a 1-D (C,) int32 array
     # occupies ~C/128 VPU tiles with one sublane used each, so every
@@ -244,91 +263,216 @@ def entropy_decode_chunks(
         | jnp.where(rs == 0, 1 << 13, 0) | (adv_ac << 14)
     )
     info_tab = jnp.concatenate([info_ac, info_dc])
+    if paired is None:
+        # budgeted passes default to the paired chain (fastest); the
+        # unbudgeted worst-case pass keeps the miss-free chain so its
+        # stride*68 slot bound stays exact
+        paired = max_symbols is not None
+    if paired:
+        # PAIRED info table: row (is_dc << 16) | w16 packs symbol 1's
+        # info word AND the speculative decode of the symbol that
+        # follows it in the same 16-bit window (valid -- bit 19 of
+        # word 1 -- whenever adv1 + len2 <= 16, the common case for
+        # natural content).  One contiguous 2-int row gather then
+        # serves BOTH symbols of a chain step: 2 serialized gathers
+        # per step instead of 3 (the chain is gather-throughput-bound,
+        # reports/perf_breakdown_r05.md).  A pair miss decodes only
+        # symbol 1 that step (dead record row; the budget/rerun
+        # machinery absorbs the rare inflation).  The worst-case rerun
+        # pass (max_symbols None) keeps the miss-free two-gather chain
+        # so its stride*68 slot bound stays exact.
+        def spec2(v1, mode2_dc):
+            adv1 = v1 >> 14
+            w2 = jnp.where(
+                adv1 <= 15, (w16_all << jnp.clip(adv1, 0, 15))
+                & 0xFFFF, 0
+            )
+            v2 = jnp.where(
+                mode2_dc, jnp.take(info_dc, w2),
+                jnp.take(info_ac, w2),
+            )
+            ok = adv1 + (v2 & 31) <= 16
+            return v2 | jnp.where(ok, 1 << 19, 0)
+        # after DC comes AC; after AC comes DC iff EOB
+        pair_dc = spec2(info_dc, jnp.zeros_like(w16_all, bool))
+        pair_ac = spec2(info_ac, (info_ac & (1 << 13)) != 0)
+        ptab = jnp.stack(
+            [info_tab,
+             jnp.concatenate([pair_ac, pair_dc])],
+            axis=1,
+        )  # (131072, 2)
 
     hw = jnp.stack(
         [(words >> jnp.uint32(16)).astype(jnp.int32),
          (words & jnp.uint32(0xFFFF)).astype(jnp.int32)],
         axis=1,
     ).reshape(-1)  # (2W,) 16-bit cells
-    ov32 = (hw << 16) | jnp.roll(hw, -1).at[-1].set(0)  # (2W,) int32
+    # five consecutive half-cells per row: ONE contiguous-slice gather
+    # yields bits [16j, 16j+80) -- with the <=15-bit cursor phase that
+    # is >=65 bits from the cursor, enough to ALWAYS decode TWO symbols
+    # (the legal worst pair is 26+26 bits; even garbage windows stay
+    # inside 62 bits, so extraction never reads past the row)
+    hq = jnp.stack(
+        [hw,
+         jnp.roll(hw, -1).at[-1:].set(0),
+         jnp.roll(hw, -2).at[-2:].set(0),
+         jnp.roll(hw, -3).at[-3:].set(0),
+         jnp.roll(hw, -4).at[-4:].set(0)],
+        axis=1,
+    )  # (2W, 5)
 
     # -- phase 1: chain following (the only serial part) ---------------
-    # Per step: three small gathers, ~25 vector ops, one row write.
-    # The SYMBOL VALUE decodes in-chain and the record packs
-    # (value+0x8000, run, kind, eob) into one int32: narrow chain ops
-    # cost ~0.2 ms each over the whole pass while every 2.4M-slot
-    # post-pass gather costs ~15 ms, so trading one extra chain gather
-    # (the second window cell) for all three phase-2 gathers is a
-    # ~2x decode win (reports/perf_breakdown_r04.md).
-    # adjacent cell pairs in one row so the chain's window needs ONE
-    # gather of a contiguous 2-element slice instead of two scattered
-    # single-element gathers
-    ovpair = jnp.stack(
-        [ov32, jnp.roll(ov32, -1).at[-1].set(0)], axis=1
-    )  # (2W, 2)
-
-    def step(state):
-        i, pos, is_dc, left, pbuf = state
-        live = left > 0
-        cell = pos >> 4
-        s = (pos & 15).astype(jnp.uint32)
-        pair = jnp.take(ovpair, cell, axis=0, mode="clip").astype(
-            jnp.uint32
-        )
-        a = pair[..., 0]
-        bcell = pair[..., 1]
-        w32 = jnp.where(
-            s == 0, a,
-            (a << s)
-            | ((bcell & jnp.uint32(0xFFFF)) >> (jnp.uint32(16) - s)),
-        )
-        v = jnp.take(
-            info_tab,
-            (w32 >> 16).astype(jnp.int32)
-            + (is_dc.astype(jnp.int32) << 16),
-            mode="clip",
-        )
+    # The round-4 chain decoded ONE symbol per lockstep step (2 gathers
+    # + ~14 narrow ops + 1 row write + the any(left) cond reduce) and
+    # was bound by per-step dispatch/launch overhead, not data
+    # (reports/perf_breakdown_r04.md: ~770 steps, ~8 us/op).  This
+    # round's chain cuts the per-symbol serialized work three ways:
+    #  * PAIR DECODE: one 5-half-cell gather gives >=65 bits from the
+    #    cursor; symbol 2's code window is extracted from the same
+    #    registers, so the serialized gather chain is 1.5/symbol
+    #    instead of 2.  A legal symbol pair is at most 26+26 bits, so
+    #    the second symbol ALWAYS decodes from the gathered bits --
+    #    every live step advances exactly two symbols (one at the
+    #    chunk's final odd symbol).
+    #  * UNROLL: each while iteration runs _UNROLL pair-steps and
+    #    writes their 2*_UNROLL record rows as ONE slab, so the
+    #    dynamic_update_slice and the any(left) cond reduce amortize
+    #    2*_UNROLL times.
+    #  * the SYMBOL VALUE decodes in-chain (record packs value/run/
+    #    kind/eob in one int32) so the post-chain phases have ZERO
+    #    gathers (the round-4 win, kept).
+    def sym_value(v, wa, wb, wc, off):
+        """Signed value of the symbol described by info word ``v`` whose
+        code starts ``off`` bits after the cursor.  wa = bits[pos,
+        pos+32), wb = bits[pos+16, pos+48), wc = bits[pos+32, pos+64).
+        Magnitude end <= off+31+15 <= 62 even for garbage windows
+        (table lengths <= 16, sizes <= 15, off <= 31), so one of the
+        three 32-bit windows always covers it with a non-negative
+        relative offset."""
         length = v & 31
         size = (v >> 5) & 15
-        eob = (v & (1 << 13)) != 0
-        mag_shift = jnp.clip(32 - length - size, 0, 31).astype(
-            jnp.uint32
-        )
+        offm = off + length
+        end = offm + size
+        base = jnp.where(end <= 32, wa, jnp.where(end <= 48, wb, wc))
+        rel = offm - jnp.where(end <= 32, 0, jnp.where(end <= 48, 16, 32))
         mag = (
-            (w32 >> mag_shift)
-            & ((jnp.uint32(1)
-                << jnp.clip(size, 0, 31).astype(jnp.uint32)) - 1)
+            (base >> jnp.clip(32 - rel - size, 0, 31).astype(jnp.uint32))
+            & ((jnp.uint32(1) << size.astype(jnp.uint32)) - 1)
         ).astype(jnp.int32)
-        value = _sign_extend(mag, size)
-        kind = jnp.where(live, jnp.where(is_dc, 2, 1), 0)
-        rec = (
+        return _sign_extend(mag, size)
+
+    def pack_rec(value, v, kind, eob):
+        return (
             (value + 0x8000)
             | (((v >> 9) & 15) << 16)          # run
             | (kind << 20)
             | (jnp.where(eob, 1, 0) << 22)
         )
-        pbuf = jax.lax.dynamic_update_slice(
-            pbuf, rec[None], (i, 0, 0)
+
+    def decode2(pos, is_dc, left):
+        """Decode two symbols per live chunk (one when the chunk's last
+        symbol lands on the step's first slot); returns the new cursor
+        state plus the two record rows."""
+        live = left > 0
+        cell = pos >> 4
+        s = (pos & 15).astype(jnp.uint32)
+        q = jnp.take(hq, cell, axis=0, mode="clip").astype(jnp.uint32)
+        h0, h1, h2, h3, h4 = (q[..., k] for k in range(5))
+        a01 = (h0 << 16) | h1
+        a12 = (h1 << 16) | h2
+        a23 = (h2 << 16) | h3
+        sh = jnp.uint32(16) - s
+        wa = jnp.where(s == 0, a01, (a01 << s) | (h2 >> sh))
+        wb = jnp.where(s == 0, a12, (a12 << s) | (h3 >> sh))
+        wc = jnp.where(s == 0, a23, (a23 << s) | (h4 >> sh))
+        # symbol 1 (+ speculative symbol 2 in the paired chain)
+        idx1 = (
+            (wa >> 16).astype(jnp.int32)
+            + (is_dc.astype(jnp.int32) << 16)
         )
-        pos = pos + jnp.where(live, v >> 14, 0)
-        hit = live & eob
-        left = left - hit
-        is_dc = jnp.where(live, jnp.where(is_dc, False, eob), is_dc)
-        return i + 1, pos, is_dc, left, pbuf
+        if paired:
+            pr = jnp.take(ptab, idx1, axis=0, mode="clip")
+            v1 = pr[..., 0]
+            v2p = pr[..., 1]
+        else:
+            v1 = jnp.take(info_tab, idx1, mode="clip")
+        adv1 = (v1 >> 14) & 31
+        eob1 = (v1 & (1 << 13)) != 0
+        kind1 = jnp.where(live, jnp.where(is_dc, 2, 1), 0)
+        rec1 = pack_rec(sym_value(v1, wa, wb, wc, jnp.int32(0)), v1,
+                        kind1, eob1)
+        left1 = left - (live & eob1)
+        is_dc2 = jnp.where(live, jnp.where(is_dc, False, eob1), is_dc)
+        pos1 = pos + jnp.where(live, adv1, 0)
+        off = adv1
+        if paired:
+            v2 = v2p
+            pair_ok = (v2p & (1 << 19)) != 0
+            live2 = live & (left1 > 0) & pair_ok
+        else:
+            # symbol 2's code window extracted at bit adv1 from the
+            # cursor (garbage windows keep adv1 <= 31; shifts stay
+            # clamped and validation rejects the chunk downstream)
+            sh_a = jnp.clip(off, 0, 16).astype(jnp.uint32)
+            sh_b = jnp.clip(off - 16, 0, 16).astype(jnp.uint32)
+            code2 = jnp.where(
+                off <= 16, (wa << sh_a) >> 16, (wb << sh_b) >> 16
+            ).astype(jnp.int32)
+            v2 = jnp.take(
+                info_tab, code2 + (is_dc2.astype(jnp.int32) << 16),
+                mode="clip",
+            )
+            live2 = live & (left1 > 0)
+        adv2 = (v2 >> 14) & 31
+        eob2 = (v2 & (1 << 13)) != 0
+        kind2 = jnp.where(live2, jnp.where(is_dc2, 2, 1), 0)
+        rec2 = pack_rec(sym_value(v2, wa, wb, wc, off), v2, kind2,
+                        eob2)
+        left2 = left1 - (live2 & eob2)
+        is_dc3 = jnp.where(live2, jnp.where(is_dc2, False, eob2),
+                           is_dc2)
+        pos2 = pos1 + jnp.where(live2, adv2, 0)
+        return pos2, is_dc3, left2, rec1, rec2
+
+    def body(state):
+        i, pos, is_dc, left, pbuf = state
+        recs = []
+        for _ in range(_UNROLL):
+            pos, is_dc, left, r1, r2 = decode2(pos, is_dc, left)
+            recs += [r1, r2]
+        pbuf = jax.lax.dynamic_update_slice(
+            pbuf, jnp.stack(recs), (i, 0, 0)
+        )
+        return i + 2 * _UNROLL, pos, is_dc, left, pbuf
 
     def cond(state):
         i, pos, is_dc, left, pbuf = state
         return (i < s_cap) & jnp.any(left > 0)
 
+    if resume is not None:
+        pos0, isdc0, left0, zzcur0, wbad0 = resume
+        pos_i = shape2d(pos0)
+        # dead-pad fill 1: the expected-DC validation below reduces to
+        # 0 decoded blocks for left=0 pads
+        isdc_i = shape2d(isdc0, fill=1)
+        left_i = shape2d(left0)
+        zzcur0 = shape2d(zzcur0)
+        wbad0 = shape2d(wbad0)
+    else:
+        pos_i = chunk_start
+        isdc_i = jnp.ones((crows, ccols), jnp.int32)
+        left_i = chunk_blocks
+        zzcur0 = jnp.zeros((crows, ccols), jnp.int32)
+        wbad0 = jnp.zeros((crows, ccols), jnp.int32)
     init = (
         jnp.int32(0),
-        chunk_start,
-        jnp.ones((crows, ccols), bool),
-        chunk_blocks,
+        pos_i,
+        isdc_i != 0,
+        left_i,
         jnp.zeros((s_cap, crows, ccols), jnp.int32),
     )
-    steps, pos_f, _, left_f, pbuf = jax.lax.while_loop(
-        cond, step, init
+    steps, pos_f, isdc_f, left_f, pbuf = jax.lax.while_loop(
+        cond, body, init
     )
     exhausted = left_f > 0
     bad = exhausted
@@ -343,14 +487,25 @@ def entropy_decode_chunks(
     eob = is_ac & (((pbuf >> 22) & 1) != 0)
 
     # -- phase 3: reassembly ------------------------------------------
-    # block index within chunk: running count of DC slots - 1
-    blk_in_chunk = jnp.cumsum(is_dc.astype(jnp.int32), axis=0) - 1
+    # block index within chunk: blocks already completed by earlier
+    # passes (0 when fresh) + running count of DC slots, off by one
+    # when the stream opens at a block boundary (a fresh chunk's first
+    # DC is block start_blk, not start_blk + 1)
+    start_blk = chunk_blocks - left_i
+    blk_in_chunk = (
+        start_blk[None]
+        + jnp.cumsum(is_dc.astype(jnp.int32), axis=0) - isdc_i[None]
+    )
     # zig-zag position: segmented cumsum of (run + 1) with reset at DC.
-    # cum is monotone, so the running max of (cum where DC else -1)
-    # is the base at the most recent DC slot.
+    # cum is monotone, so the running max of (cum where DC else
+    # sentinel) is the base at the most recent DC slot; before the
+    # first DC of a RESUMED mid-block chunk, the base continues the
+    # prior pass's cut position (-zzcur0).
     adv_pos = jnp.where(is_ac & ~eob, run + 1, 0)
     cum = jnp.cumsum(adv_pos, axis=0)
-    base = jax.lax.cummax(jnp.where(is_dc, cum, -1), axis=0)
+    _sent = jnp.int32(-(1 << 30))
+    base = jax.lax.cummax(jnp.where(is_dc, cum, _sent), axis=0)
+    base = jnp.where(base <= _sent // 2, -zzcur0[None], base)
     zz_pos = jnp.where(is_dc, 0, cum - base)
 
     write = valid & ~eob
@@ -358,35 +513,104 @@ def entropy_decode_chunks(
     pos_ok = (zz_pos >= 0) & (zz_pos <= 63)
     blk_ok = (blk >= 0) & (blk < nb_total)
     good = write & pos_ok & blk_ok
-    # Scatter with a globally SORTED index stream so XLA can drop the
-    # serial generic-scatter path (measured as the dominant decode
-    # cost, reports/perf_breakdown_r04.md).  Within a chunk, valid
-    # targets are strictly increasing (monotone coefficient positions
-    # over ascending blocks) and chunk block ranges ascend with chunk
-    # order; invalid slots (EOB, dead) repeat the chunk's LAST valid
-    # index via a running max, adding 0 there -- every live chunk's
-    # step-0 slot is a valid DC write, so no -1 survives except in
-    # dead-pad chunks, which sit at the END of chunk order and map to
-    # the discard sentinel.
-    flat = jnp.where(good, blk * 64 + zz_pos, -1)
-    flat = jax.lax.cummax(flat, axis=0)
-    flat = jnp.where(flat < 0, nb_total * 64, flat)
-    flat_cm = jnp.transpose(flat, (1, 2, 0)).reshape(-1)
-    val_cm = jnp.transpose(
-        jnp.where(good, value, 0), (1, 2, 0)
-    ).reshape(-1)
-    zz = jnp.zeros((nb_total * 64 + 1,), jnp.int32)
-    zz = zz.at[flat_cm].add(
-        val_cm, mode="drop", indices_are_sorted=True,
-    )
-    zz = zz[:-1].reshape(nb_total, 64)
+    val = jnp.where(good, value, 0)
+    if layout is not None:
+        # MATMUL reassembly (no XLA scatter): chunks write their blocks
+        # contiguously and in order (prepare_batch's canonical layout),
+        # so per chunk the (slot -> block-in-chunk x zigzag) placement
+        # is OUT[c] = A[c].T @ B[c] with A the block one-hot and B the
+        # value-weighted zigzag one-hot -- a batched (C, stride, S) x
+        # (C, S, 64) MXU matmul, then a reshape + slice assembles the
+        # (nb_total, 64) tensor.  The XLA scatter this replaces was
+        # 21.5 ms of the 25.6 ms post-chain cost on the corpus pass
+        # (reports/perf_breakdown_r05.md).  Exactness on the MXU: the
+        # value rides in two <=8-bit pieces (lo in [0,127], hi in
+        # [-16,15], val = hi*128 + lo) because XLA:TPU computes bf16
+        # matmuls natively -- bf16 represents integers <=255 exactly
+        # and the f32 accumulation of <=S terms stays < 2^24.
+        images, nb_image = layout
+        n_c = -(-nb_image // int(stride))
+        s_axis = s_cap
+        blk_cm = jnp.transpose(blk_in_chunk, (1, 2, 0)).reshape(
+            c8, s_axis
+        )
+        pos_cm = jnp.transpose(zz_pos, (1, 2, 0)).reshape(c8, s_axis)
+        val_cm = jnp.transpose(val, (1, 2, 0)).reshape(c8, s_axis)
+        lo = (val_cm & 127).astype(jnp.bfloat16)
+        hi = ((val_cm - (val_cm & 127)) >> 7).astype(jnp.bfloat16)
+        a_onehot = (
+            blk_cm[:, :, None] == jnp.arange(stride, dtype=jnp.int32)
+        ).astype(jnp.bfloat16)
+        l_onehot = (
+            pos_cm[:, :, None] == jnp.arange(64, dtype=jnp.int32)
+        )
+        out_lo = jax.lax.dot_general(
+            a_onehot, l_onehot.astype(jnp.bfloat16) * lo[:, :, None],
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        out_hi = jax.lax.dot_general(
+            a_onehot, l_onehot.astype(jnp.bfloat16) * hi[:, :, None],
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        zz_chunks = (out_lo + 128.0 * out_hi).astype(jnp.int32)
+        # canonical layout: full chunks exactly tile each image's
+        # blocks and only the final chunk is short, so valid rows are
+        # the contiguous prefix [0, nb_image) after grouping chunks by
+        # image -- a reshape + slice, no gather
+        zz = (
+            zz_chunks[: images * n_c]
+            .reshape(images, n_c * int(stride), 64)[:, :nb_image]
+            .reshape(nb_total, 64)
+        )
+    else:
+        # general layout (subset reruns): sorted scatter -- within a
+        # chunk valid targets strictly increase and chunk ranges ascend
+        # with chunk order; invalid slots (EOB, dead) repeat the
+        # chunk's LAST valid index via a running max, adding 0 there --
+        # every live chunk's step-0 slot is a valid DC write, so no -1
+        # survives except in dead-pad chunks, which sit at the END of
+        # chunk order and map to the discard sentinel.
+        flat = jnp.where(good, blk * 64 + zz_pos, -1)
+        flat = jax.lax.cummax(flat, axis=0)
+        flat = jnp.where(flat < 0, nb_total * 64, flat)
+        flat_cm = jnp.transpose(flat, (1, 2, 0)).reshape(-1)
+        val_cm = jnp.transpose(val, (1, 2, 0)).reshape(-1)
+        zz = jnp.zeros((nb_total * 64 + 1,), jnp.int32)
+        # resumed chunks can open with non-write slots (EOB at the
+        # cut), whose sentinel-filled leading indices break global
+        # sortedness -- drop the hint there (resumed subsets are small)
+        zz = zz.at[flat_cm].add(
+            val_cm, mode="drop",
+            indices_are_sorted=resume is None,
+        )
+        zz = zz[:-1].reshape(nb_total, 64)
 
     # -- validation ----------------------------------------------------
-    bad = bad | jnp.any(write & ~(pos_ok & blk_ok), axis=0)
+    wbad = wbad0 | jnp.any(
+        write & ~(pos_ok & blk_ok), axis=0
+    ).astype(jnp.int32)
+    bad = bad | (wbad != 0)
     blocks_done = jnp.sum(is_dc.astype(jnp.int32), axis=0)
-    bad = bad | (blocks_done != chunk_blocks)
+    # a pass opening mid-block (resume with is_dc0 == 0) finishes the
+    # cut block without a DC slot of its own
+    expected_dc = jnp.maximum(left_i - 1 + isdc_i, 0)
+    bad = bad | (blocks_done != expected_dc)
     bad = bad | (pos_f < chunk_end_lo) | (pos_f > chunk_end_hi)
-    return zz, (~bad).reshape(-1)[:c], exhausted.reshape(-1)[:c]
+    ok_out = (~bad).reshape(-1)[:c]
+    ex_out = exhausted.reshape(-1)[:c]
+    if _return_records:  # profiling hook (scripts/profile_decode.py)
+        return zz, ok_out, ex_out, pbuf
+    if return_state:
+        zzcur_f = cum[-1] - base[-1]
+        state = tuple(
+            a.reshape(-1)[:c] for a in (
+                pos_f, isdc_f.astype(jnp.int32), left_f, zzcur_f, wbad,
+            )
+        )
+        return zz, ok_out, ex_out, state
+    return zz, ok_out, ex_out
 
 
 def prepare_batch(streams: list[bytes]):

@@ -56,6 +56,8 @@ def compress_stream(
     precision: str = transform.FAST,
     bt: int = 1024,
     interpret: bool = False,
+    block_index: bool = True,
+    index_stride: int = 64,
 ) -> Iterator[bytes]:
     """Encode an image stream, yielding compressed bytes per image.
 
@@ -65,6 +67,10 @@ def compress_stream(
     partial chunk is padded with repeats of its last image so every
     dispatch reuses the same compiled program, and the pads are never
     yielded.
+
+    block_index (default on, like the other compress entries) appends
+    the TICX trailer so streamed output feeds the chunk-parallel device
+    decoder; reference decoders ignore it (docs/FORMAT.md).
     """
     import jax
 
@@ -75,20 +81,27 @@ def compress_stream(
             out = compress_batch_pallas(
                 None, quality=quality, staged=staged,
                 precision=precision, bt=bt, interpret=interpret,
-                true_shape=true_shape,
+                true_shape=true_shape, block_index=block_index,
+                index_stride=index_stride,
             )
         except ValueError as e:
             if "not tileable" not in str(e):
                 raise
             # chunk shape the compiled kernels cannot tile (e.g. small
-            # images, Mosaic's 128-lane block rule): host golden path,
-            # same bytes contract.  Crop back to the true dims -- the
-            # oracle re-applies the identical reflect padding.
-            from .. import container
+            # images, Mosaic's 128-lane block rule): the XLA batch
+            # pipeline, which honors the requested precision (the same
+            # fallback api.compress_batch uses -- a host-oracle fallback
+            # here would silently switch fast-precision streams to
+            # host-exact bytes).  Crop back to the true dims first; the
+            # pipeline re-applies the identical reflect padding.
+            from .batch import compress_batch
 
             th, tw = true_shape
             host = np.asarray(staged)[:, :th, :tw]
-            out = [container.compress(im, quality) for im in host]
+            out = compress_batch(
+                host, quality, precision=precision,
+                block_index=block_index, index_stride=index_stride,
+            )
         return out[:count]
 
     prev: tuple[object, int, tuple[int, int]] | None = None
