@@ -547,16 +547,33 @@ def main():
             log(f"decode/device-full: "
                 f"{results['decode/device-full']:.1f} MP/s")
 
-            # first-pass rate at the engine's typical-content symbol
-            # budget (the real path re-decodes the rare denser chunks
-            # as a small subset and merges -- engine.py; the sustained
-            # cost is within a few % of this number)
+            # first-pass rate at the engine's typical-content slot
+            # budget (16 rows/block; chunks that exhaust it RESUME from
+            # their saved cursor state on device -- engine.py
+            # continuation -- decoding only the remaining symbols, so
+            # the sustained engine cost stays within ~10% of this)
             results["decode/device-fastpath"] = (
-                bench_decode_entropy_device(streams_ix, budget_mult=12)
+                bench_decode_entropy_device(streams_ix, budget_mult=16)
             )
             _persist_partial(results)
             log(f"decode/device-fastpath: "
                 f"{results['decode/device-fastpath']:.1f} MP/s")
+
+            # DENSE content (round-4 verdict #3): the q=90 corpus needs
+            # ~35 slot rows/block (vs ~15 at q=50), so its cost is
+            # ~2.5x the q=50 fastpath -- recorded rather than assumed.
+            # Budget 40 covers q=90 with the same ~15% resume tail the
+            # 16-row budget leaves at q=50 (exhaustion sweep in
+            # reports/perf_breakdown_r05.md).
+            streams_q90 = compress_batch_pallas(
+                images, quality=90, block_index=True
+            )
+            results["decode/device-dense-q90"] = (
+                bench_decode_entropy_device(streams_q90, budget_mult=40)
+            )
+            _persist_partial(results)
+            log(f"decode/device-dense-q90: "
+                f"{results['decode/device-dense-q90']:.1f} MP/s")
 
             # serial half alone: threaded C 16-bit-peek LUT entropy decode
             from concurrent.futures import ThreadPoolExecutor

@@ -124,7 +124,12 @@ def main() -> int:
     from tinyimgcodec_tpu import api
 
     small = np.stack(list(contents(64, 64).values()))
-    refs64 = [container.compress(im, quality=50) for im in small]
+    # api entries default block_index=True since round 5 (the trailer
+    # is a pure suffix; payload bytes still match the oracle)
+    refs64 = [
+        container.compress(im, quality=50, block_index=True)
+        for im in small
+    ]
     out64 = api.compress_batch(small, quality=50, precision="exact")
     check("small-batch-api-fallback-byte-identity", out64 == refs64)
     one64 = api.compress(small[0], quality=50, precision="exact")

@@ -76,7 +76,63 @@ def _worker():
         sharding, local, (n * per, size, size)
     )
 
-    if pipeline == "pallas":
+    if pipeline == "decode":
+        # sharded DECODE (round-4 verdict #6): each process entropy-
+        # decodes + inverse-transforms its shard of TICX streams via
+        # the shard_map body (pure XLA -- compiled on CPU and pod
+        # alike).  Workload: each process compresses its local images
+        # once (host oracle), then times the device decode only.
+        from tinyimgcodec_tpu import container
+        from tinyimgcodec_tpu.ops.entropy_decode import prepare_batch
+        from tinyimgcodec_tpu.parallel.batch import (
+            _build_decode_sharded,
+        )
+
+        streams = [
+            container.compress(
+                np.asarray(local[i]), 50, block_index=True
+            )
+            for i in range(per)
+        ]
+        prep = prepare_batch(streams)
+        assert prep is not None
+        h, w, _q = prep["shape"]
+        nb = prep["nb_per_image"]
+        stride = prep["stride"]
+        # synthetic_corpus is deterministic, so every process derives
+        # identical bucket/c_max and the shared program agrees
+        wl = len(prep["words"])
+        bucket = 1 << max(10, (wl - 1).bit_length())
+        keys = ("chunk_start", "chunk_blocks", "chunk_block_base",
+                "chunk_end_lo", "chunk_end_hi")
+        c_max = len(prep["chunk_start"])
+        wloc = np.zeros((1, bucket), np.uint32)
+        wloc[0, :wl] = prep["words"]
+        carrs = {}
+        for k in keys:
+            a = np.zeros((1, c_max), np.int32)
+            a[0, : len(prep[k])] = prep[k]
+            carrs[k] = a
+        gw = jax.make_array_from_process_local_data(
+            sharding, wloc, (n, bucket)
+        )
+        gargs = tuple(
+            jax.make_array_from_process_local_data(
+                sharding, carrs[k], (n, c_max)
+            )
+            for k in keys
+        )
+        h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+        fn = _build_decode_sharded(
+            _MeshKey(mesh), per, nb, bucket, c_max, 50, "fast", False,
+            stride, h8, w8,
+        )
+
+        def run_once():
+            imgs, ok, flg = fn(gw, *gargs)
+            okl = np.asarray(ok.addressable_data(0))
+            return not okl.all()
+    elif pipeline == "pallas":
         # the flagship kernels under shard_map (interpret mode on CPU;
         # on a pod the same program runs compiled)
         from tinyimgcodec_tpu.parallel.batch import _build_pallas
@@ -172,7 +228,9 @@ def main():
     per = int(args.get("--per-proc", "4"))
     size = int(args.get("--size", "512"))
     reps = int(args.get("--reps", "5"))
-    pipelines = args.get("--pipelines", "xla,pallas").split(",")
+    pipelines = args.get(
+        "--pipelines", "xla,pallas,decode"
+    ).split(",")
     cores = os.cpu_count() or 1
 
     import tempfile
@@ -184,6 +242,10 @@ def main():
         psize = int(args.get("--size-pallas", "128")) \
             if pipeline == "pallas" else size
         pper = 2 if pipeline == "pallas" else per
+        if pipeline == "decode":
+            # the CPU-compiled worst-case chain is seconds/rep at 512^2
+            psize = int(args.get("--size-decode", "256"))
+            pper = 2
         rows = []
         base = None
         for n in procs:
@@ -214,7 +276,7 @@ def main():
             "scaling evidence; oversubscribed rows (if requested) are "
             "flagged. 'xla' = shard_map XLA pipeline; 'pallas' = the "
             "flagship fused kernels under shard_map (interpret mode on "
-            "CPU; compiled on a pod). Same harness runs unchanged on a "
+            "CPU; compiled on a pod); 'decode' = sharded TICX device entropy decode + transform (pure XLA, compiled everywhere). Same harness runs unchanged on a "
             "TPU pod."
         ),
         "pipelines": by_pipeline,

@@ -55,9 +55,9 @@ from ..constants import (
 # absolute per-block symbol bound: 1 DC + 63 AC values + <=3 ZRL + EOB
 MAX_BLOCK_SYMBOLS = 68
 
-# pair-steps per while-loop iteration in the chain phase (each writes
-# 2 record rows); amortizes the slab write + cond reduce 2*_UNROLL x
-_UNROLL = 4
+# quad-steps per while-loop iteration in the chain phase (each writes
+# 4 record rows); amortizes the slab write + cond reduce 4*_UNROLL x
+_UNROLL = 2
 
 
 @functools.cache
@@ -214,7 +214,7 @@ def entropy_decode_chunks(
     # each chunk's tail (a chunk finishing mid-step or mid-slab).
     worst = int(stride) * MAX_BLOCK_SYMBOLS + 2
     s_cap = min(worst, max_symbols) if max_symbols else worst
-    s_cap = -(-s_cap // (2 * _UNROLL)) * (2 * _UNROLL)
+    s_cap = -(-s_cap // (4 * _UNROLL)) * (4 * _UNROLL)
 
     # Chunk state lives as (8, ceil(C/8)) tiles: a 1-D (C,) int32 array
     # occupies ~C/128 VPU tiles with one sublane used each, so every
@@ -307,19 +307,17 @@ def entropy_decode_chunks(
          (words & jnp.uint32(0xFFFF)).astype(jnp.int32)],
         axis=1,
     ).reshape(-1)  # (2W,) 16-bit cells
-    # five consecutive half-cells per row: ONE contiguous-slice gather
-    # yields bits [16j, 16j+80) -- with the <=15-bit cursor phase that
-    # is >=65 bits from the cursor, enough to ALWAYS decode TWO symbols
-    # (the legal worst pair is 26+26 bits; even garbage windows stay
-    # inside 62 bits, so extraction never reads past the row)
+    # eight consecutive half-cells per row: ONE contiguous-slice gather
+    # yields bits [16j, 16j+128) -- with the <=15-bit cursor phase that
+    # is >=113 bits from the cursor, enough to ALWAYS decode FOUR legal
+    # symbols (worst 4 x 26 = 104 bits; garbage extractions stay inside
+    # the gathered registers, and validation rejects those chunks)
     hq = jnp.stack(
-        [hw,
-         jnp.roll(hw, -1).at[-1:].set(0),
-         jnp.roll(hw, -2).at[-2:].set(0),
-         jnp.roll(hw, -3).at[-3:].set(0),
-         jnp.roll(hw, -4).at[-4:].set(0)],
+        [hw] + [
+            jnp.roll(hw, -j).at[-j:].set(0) for j in range(1, 8)
+        ],
         axis=1,
-    )  # (2W, 5)
+    )  # (2W, 8)
 
     # -- phase 1: chain following (the only serial part) ---------------
     # The round-4 chain decoded ONE symbol per lockstep step (2 gathers
@@ -341,25 +339,40 @@ def entropy_decode_chunks(
     #  * the SYMBOL VALUE decodes in-chain (record packs value/run/
     #    kind/eob in one int32) so the post-chain phases have ZERO
     #    gathers (the round-4 win, kept).
-    def sym_value(v, wa, wb, wc, off):
+    def sym_value(v, wins, off):
         """Signed value of the symbol described by info word ``v`` whose
-        code starts ``off`` bits after the cursor.  wa = bits[pos,
-        pos+32), wb = bits[pos+16, pos+48), wc = bits[pos+32, pos+64).
-        Magnitude end <= off+31+15 <= 62 even for garbage windows
-        (table lengths <= 16, sizes <= 15, off <= 31), so one of the
-        three 32-bit windows always covers it with a non-negative
-        relative offset."""
+        code starts ``off`` bits after the cursor.  wins[k] =
+        bits[pos + 16k, pos + 16k + 32); the smallest window whose end
+        covers the magnitude is selected, and for any VALID stream the
+        magnitude then sits at a non-negative in-window offset (end >
+        16(k-1)+32 and size <= 15 force offm >= 16k).  Garbage
+        windows/offsets clamp and mis-extract harmlessly -- validation
+        rejects those chunks."""
         length = v & 31
         size = (v >> 5) & 15
         offm = off + length
         end = offm + size
-        base = jnp.where(end <= 32, wa, jnp.where(end <= 48, wb, wc))
-        rel = offm - jnp.where(end <= 32, 0, jnp.where(end <= 48, 16, 32))
+        base = wins[0]
+        kbase = jnp.zeros_like(offm)
+        for k in range(1, len(wins)):
+            sel = end > 16 * k + 16
+            base = jnp.where(sel, wins[k], base)
+            kbase = jnp.where(sel, 16 * k, kbase)
+        rel = offm - kbase
         mag = (
             (base >> jnp.clip(32 - rel - size, 0, 31).astype(jnp.uint32))
             & ((jnp.uint32(1) << size.astype(jnp.uint32)) - 1)
         ).astype(jnp.int32)
         return _sign_extend(mag, size)
+
+    def code16_at(off, wins):
+        """The 16-bit code window at bit ``off`` after the cursor."""
+        k = off >> 4
+        w = wins[0]
+        for kk in range(1, len(wins)):
+            w = jnp.where(k >= kk, wins[kk], w)
+        sh = (off & 15).astype(jnp.uint32)
+        return ((w << sh) >> 16).astype(jnp.int32)
 
     def pack_rec(value, v, kind, eob):
         return (
@@ -369,81 +382,91 @@ def entropy_decode_chunks(
             | (jnp.where(eob, 1, 0) << 22)
         )
 
-    def decode2(pos, is_dc, left):
-        """Decode two symbols per live chunk (one when the chunk's last
-        symbol lands on the step's first slot); returns the new cursor
-        state plus the two record rows."""
+    def one_pair(off0, is_dc, left, wins, first):
+        """Decode up to two symbols starting ``off0`` bits after the
+        cursor: symbol A always commits while the chunk is live; in the
+        paired chain symbol B commits when the speculative table entry
+        is valid (adv_A + len_B <= 16), else its record row is dead and
+        the next pair re-decodes it.  Returns (off_end, is_dc, left,
+        rec_A, rec_B)."""
         live = left > 0
-        cell = pos >> 4
-        s = (pos & 15).astype(jnp.uint32)
-        q = jnp.take(hq, cell, axis=0, mode="clip").astype(jnp.uint32)
-        h0, h1, h2, h3, h4 = (q[..., k] for k in range(5))
-        a01 = (h0 << 16) | h1
-        a12 = (h1 << 16) | h2
-        a23 = (h2 << 16) | h3
-        sh = jnp.uint32(16) - s
-        wa = jnp.where(s == 0, a01, (a01 << s) | (h2 >> sh))
-        wb = jnp.where(s == 0, a12, (a12 << s) | (h3 >> sh))
-        wc = jnp.where(s == 0, a23, (a23 << s) | (h4 >> sh))
-        # symbol 1 (+ speculative symbol 2 in the paired chain)
-        idx1 = (
-            (wa >> 16).astype(jnp.int32)
-            + (is_dc.astype(jnp.int32) << 16)
-        )
-        if paired:
-            pr = jnp.take(ptab, idx1, axis=0, mode="clip")
-            v1 = pr[..., 0]
-            v2p = pr[..., 1]
+        if first:
+            code_a = (wins[0] >> 16).astype(jnp.int32)
         else:
-            v1 = jnp.take(info_tab, idx1, mode="clip")
-        adv1 = (v1 >> 14) & 31
-        eob1 = (v1 & (1 << 13)) != 0
-        kind1 = jnp.where(live, jnp.where(is_dc, 2, 1), 0)
-        rec1 = pack_rec(sym_value(v1, wa, wb, wc, jnp.int32(0)), v1,
-                        kind1, eob1)
-        left1 = left - (live & eob1)
-        is_dc2 = jnp.where(live, jnp.where(is_dc, False, eob1), is_dc)
-        pos1 = pos + jnp.where(live, adv1, 0)
-        off = adv1
+            code_a = code16_at(off0, wins)
+        idx = code_a + (is_dc.astype(jnp.int32) << 16)
         if paired:
-            v2 = v2p
-            pair_ok = (v2p & (1 << 19)) != 0
-            live2 = live & (left1 > 0) & pair_ok
+            pr = jnp.take(ptab, idx, axis=0, mode="clip")
+            va = pr[..., 0]
+            vbp = pr[..., 1]
         else:
-            # symbol 2's code window extracted at bit adv1 from the
-            # cursor (garbage windows keep adv1 <= 31; shifts stay
-            # clamped and validation rejects the chunk downstream)
-            sh_a = jnp.clip(off, 0, 16).astype(jnp.uint32)
-            sh_b = jnp.clip(off - 16, 0, 16).astype(jnp.uint32)
-            code2 = jnp.where(
-                off <= 16, (wa << sh_a) >> 16, (wb << sh_b) >> 16
-            ).astype(jnp.int32)
-            v2 = jnp.take(
-                info_tab, code2 + (is_dc2.astype(jnp.int32) << 16),
+            va = jnp.take(info_tab, idx, mode="clip")
+        adv_a = (va >> 14) & 31
+        eob_a = (va & (1 << 13)) != 0
+        kind_a = jnp.where(live, jnp.where(is_dc, 2, 1), 0)
+        rec_a = pack_rec(sym_value(va, wins, off0), va, kind_a, eob_a)
+        left_a = left - (live & eob_a)
+        is_dc_b = jnp.where(live, jnp.where(is_dc, False, eob_a),
+                            is_dc)
+        off_a = off0 + jnp.where(live, adv_a, 0)
+        if paired:
+            vb = vbp
+            ok_b = (vbp & (1 << 19)) != 0
+            live_b = live & (left_a > 0) & ok_b
+        else:
+            vb = jnp.take(
+                info_tab,
+                code16_at(off_a, wins)
+                + (is_dc_b.astype(jnp.int32) << 16),
                 mode="clip",
             )
-            live2 = live & (left1 > 0)
-        adv2 = (v2 >> 14) & 31
-        eob2 = (v2 & (1 << 13)) != 0
-        kind2 = jnp.where(live2, jnp.where(is_dc2, 2, 1), 0)
-        rec2 = pack_rec(sym_value(v2, wa, wb, wc, off), v2, kind2,
-                        eob2)
-        left2 = left1 - (live2 & eob2)
-        is_dc3 = jnp.where(live2, jnp.where(is_dc2, False, eob2),
-                           is_dc2)
-        pos2 = pos1 + jnp.where(live2, adv2, 0)
-        return pos2, is_dc3, left2, rec1, rec2
+            live_b = live & (left_a > 0)
+        adv_b = (vb >> 14) & 31
+        eob_b = (vb & (1 << 13)) != 0
+        kind_b = jnp.where(live_b, jnp.where(is_dc_b, 2, 1), 0)
+        rec_b = pack_rec(sym_value(vb, wins, off_a), vb, kind_b,
+                         eob_b)
+        left_b = left_a - (live_b & eob_b)
+        is_dc_c = jnp.where(live_b, jnp.where(is_dc_b, False, eob_b),
+                            is_dc_b)
+        off_b = off_a + jnp.where(live_b, adv_b, 0)
+        return off_b, is_dc_c, left_b, rec_a, rec_b
+
+    def decode4(pos, is_dc, left):
+        """Decode up to four symbols per live chunk from ONE payload
+        gather: two pair decodes against the same 8-half-cell window
+        (worst legal 4-symbol advance is 104 bits <= the >=113
+        available).  Serialized gathers: 1 payload + 2 info rows per 4
+        symbols (paired chain)."""
+        cell = pos >> 4
+        sph = (pos & 15).astype(jnp.uint32)
+        q = jnp.take(hq, cell, axis=0, mode="clip").astype(jnp.uint32)
+        h = [q[..., k] for k in range(8)]
+        sh = jnp.uint32(16) - sph
+        wins = []
+        for k in range(6):
+            a = (h[k] << 16) | h[k + 1]
+            wins.append(
+                jnp.where(sph == 0, a, (a << sph) | (h[k + 2] >> sh))
+            )
+        off, is_dc, left, r1, r2 = one_pair(
+            jnp.int32(0), is_dc, left, wins, True
+        )
+        off, is_dc, left, r3, r4 = one_pair(
+            off, is_dc, left, wins, False
+        )
+        return pos + off, is_dc, left, (r1, r2, r3, r4)
 
     def body(state):
         i, pos, is_dc, left, pbuf = state
         recs = []
         for _ in range(_UNROLL):
-            pos, is_dc, left, r1, r2 = decode2(pos, is_dc, left)
-            recs += [r1, r2]
+            pos, is_dc, left, r4 = decode4(pos, is_dc, left)
+            recs += list(r4)
         pbuf = jax.lax.dynamic_update_slice(
             pbuf, jnp.stack(recs), (i, 0, 0)
         )
-        return i + 2 * _UNROLL, pos, is_dc, left, pbuf
+        return i + 4 * _UNROLL, pos, is_dc, left, pbuf
 
     def cond(state):
         i, pos, is_dc, left, pbuf = state
