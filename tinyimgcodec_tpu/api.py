@@ -211,13 +211,17 @@ def decompress(data: bytes, backend: str = "auto",
 
 def decompress_batch(
     streams: list[bytes], backend: str = "auto", precision: str = "exact"
-) -> np.ndarray:
-    """Same-shaped compressed streams -> (B, H, W) uint8 images.
+):
+    """Compressed streams -> decoded uint8 images.
 
-    The batch decode entry point: entropy decode runs thread-parallel
-    through the native C LUT decoder (per stream, and index-parallel
-    within TICX-indexed streams), and ONE batched device program runs
-    the transform half for the whole batch.
+    The batch decode entry point: on TPU backends, TICX-indexed
+    standard-table batches entropy-decode fully ON DEVICE
+    (chunk-parallel, ops/entropy_decode.py); otherwise entropy decode
+    runs thread-parallel through the native C LUT decoder and ONE
+    batched device program runs the transform half.  Uniform batches
+    return a stacked ``(B, H, W)`` array; mixed shapes/qualities are
+    grouped into uniform runs and a list of (H, W) arrays comes back
+    in input order.
     """
     if backend not in ("auto", "jax", "host"):
         raise ValueError(f"unknown backend {backend!r}")
@@ -227,4 +231,7 @@ def decompress_batch(
             return engine.decompress_batch(streams)
         if backend == "jax":
             raise _engine_unavailable_error()
-    return np.stack([container.decompress(s) for s in streams])
+    out = [container.decompress(s) for s in streams]
+    if len({o.shape for o in out}) > 1:
+        return out  # mixed shapes: list, same contract as the engine
+    return np.stack(out)

@@ -528,19 +528,27 @@ class Engine:
                       "chunk_end_lo", "chunk_end_hi")
         args = tuple(jnp.asarray(prep[k]) for k in chunk_keys)
         # Budgeted first pass + CONTINUATION: the slot buffers (and the
-        # post-chain phases, O(budget * chunks)) size to typical
-        # content; chunks that exhaust the budget RESUME from their
+        # post-chain phases, O(budget * chunks)) size to the batch's
+        # OWN density; chunks that exhaust the budget RESUME from their
         # saved cursor state as a pow2-padded subset, decoding only the
         # remaining symbols, and the disjoint coefficient sets merge by
-        # addition on device.  One budgeted resume covers the natural
+        # addition on device.  Escalating budgeted resumes cover the
         # density tail; a final worst-case unpaired resume (slot bound
-        # stride*68 exact) guarantees termination.  Budget 16
-        # symbols/block: the q=50 corpus measures ~15 mean slot rows
-        # per block through the paired chain, so 12 (the round-4
-        # default) exhausted HALF the chunks and the old
-        # from-scratch worst-case rerun dominated
-        # (reports/perf_breakdown_r05.md).
-        budget = stride * 16 + 2
+        # stride*68 exact) guarantees termination.
+        #
+        # The first-pass budget adapts to content: payload bits predict
+        # symbols at ~4.2 bits/symbol (q=50 corpus: 67 bits/block over
+        # ~15 slot rows; q=90: 115 over ~35 -- denser content uses
+        # SHORTER codes), plus 25% tail margin, bucketed so jit
+        # signatures stay bounded.  The floor 16 is the q<=50 sweet
+        # spot (12, the round-4 default, exhausted HALF the corpus
+        # chunks and the old from-scratch worst-case rerun dominated,
+        # reports/perf_breakdown_r05.md).
+        est_rows = wl * 32.0 / max(b * nb, 1) / 4.2 * 1.25
+        for mult in (16, 24, 32, 48, 68):
+            if mult >= min(est_rows, 68):
+                break
+        budget = stride * mult + 2
         entropy, merge, xform = self._devdec_fn(
             b, nb, bucket, int(quality), self.precision, scaled,
             stride, budget,
@@ -674,6 +682,10 @@ class Engine:
                 run.append(data)
             dec = self.decompress_batch(run)
             out.extend(np.asarray(dec))
+            if len({o.shape for o in out}) == 1:
+                # same shapes, mixed qualities: keep the stacked-array
+                # contract (a list only when shapes genuinely differ)
+                return np.stack(out)
             return out
         dc = np.stack([a.dc for a in arrays])
         ac = np.stack([a.ac for a in arrays])

@@ -55,8 +55,13 @@ from ..constants import (
 # absolute per-block symbol bound: 1 DC + 63 AC values + <=3 ZRL + EOB
 MAX_BLOCK_SYMBOLS = 68
 
-# quad-steps per while-loop iteration in the chain phase (each writes
-# 4 record rows); amortizes the slab write + cond reduce 4*_UNROLL x
+# pair-decodes per chain step: each step does ONE payload gather of
+# 4*_PAIRS half-cells plus _PAIRS paired-info-row gathers, decoding up
+# to 2*_PAIRS symbols -- (1 + _PAIRS) serialized gathers per 2*_PAIRS
+# symbols
+_PAIRS = 2
+# steps per while-loop iteration (each writes 2*_PAIRS record rows);
+# amortizes the slab write + cond reduce
 _UNROLL = 2
 
 
@@ -214,7 +219,9 @@ def entropy_decode_chunks(
     # each chunk's tail (a chunk finishing mid-step or mid-slab).
     worst = int(stride) * MAX_BLOCK_SYMBOLS + 2
     s_cap = min(worst, max_symbols) if max_symbols else worst
-    s_cap = -(-s_cap // (4 * _UNROLL)) * (4 * _UNROLL)
+    s_cap = (
+        -(-s_cap // (2 * _PAIRS * _UNROLL)) * (2 * _PAIRS * _UNROLL)
+    )
 
     # Chunk state lives as (8, ceil(C/8)) tiles: a 1-D (C,) int32 array
     # occupies ~C/128 VPU tiles with one sublane used each, so every
@@ -307,17 +314,18 @@ def entropy_decode_chunks(
          (words & jnp.uint32(0xFFFF)).astype(jnp.int32)],
         axis=1,
     ).reshape(-1)  # (2W,) 16-bit cells
-    # eight consecutive half-cells per row: ONE contiguous-slice gather
-    # yields bits [16j, 16j+128) -- with the <=15-bit cursor phase that
-    # is >=113 bits from the cursor, enough to ALWAYS decode FOUR legal
-    # symbols (worst 4 x 26 = 104 bits; garbage extractions stay inside
-    # the gathered registers, and validation rejects those chunks)
+    # 4*_PAIRS consecutive half-cells per row: ONE contiguous-slice
+    # gather yields 64*_PAIRS bits -- with the <=15-bit cursor phase
+    # that always covers 2*_PAIRS legal symbols (worst 26 bits each;
+    # garbage extractions stay inside the gathered registers, and
+    # validation rejects those chunks)
+    ncells = 4 * _PAIRS
     hq = jnp.stack(
         [hw] + [
-            jnp.roll(hw, -j).at[-j:].set(0) for j in range(1, 8)
+            jnp.roll(hw, -j).at[-j:].set(0) for j in range(1, ncells)
         ],
         axis=1,
-    )  # (2W, 8)
+    )  # (2W, ncells)
 
     # -- phase 1: chain following (the only serial part) ---------------
     # The round-4 chain decoded ONE symbol per lockstep step (2 gathers
@@ -432,41 +440,42 @@ def entropy_decode_chunks(
         off_b = off_a + jnp.where(live_b, adv_b, 0)
         return off_b, is_dc_c, left_b, rec_a, rec_b
 
-    def decode4(pos, is_dc, left):
-        """Decode up to four symbols per live chunk from ONE payload
-        gather: two pair decodes against the same 8-half-cell window
-        (worst legal 4-symbol advance is 104 bits <= the >=113
-        available).  Serialized gathers: 1 payload + 2 info rows per 4
-        symbols (paired chain)."""
+    def decode_step(pos, is_dc, left):
+        """Decode up to 2*_PAIRS symbols per live chunk from ONE
+        payload gather: _PAIRS pair decodes against the same
+        4*_PAIRS-half-cell window (a legal symbol is <= 26 bits, so
+        2*_PAIRS of them always fit the >= 64*_PAIRS - 15 gathered
+        bits)."""
         cell = pos >> 4
         sph = (pos & 15).astype(jnp.uint32)
         q = jnp.take(hq, cell, axis=0, mode="clip").astype(jnp.uint32)
-        h = [q[..., k] for k in range(8)]
+        h = [q[..., k] for k in range(ncells)]
         sh = jnp.uint32(16) - sph
         wins = []
-        for k in range(6):
+        for k in range(ncells - 2):
             a = (h[k] << 16) | h[k + 1]
             wins.append(
                 jnp.where(sph == 0, a, (a << sph) | (h[k + 2] >> sh))
             )
-        off, is_dc, left, r1, r2 = one_pair(
-            jnp.int32(0), is_dc, left, wins, True
-        )
-        off, is_dc, left, r3, r4 = one_pair(
-            off, is_dc, left, wins, False
-        )
-        return pos + off, is_dc, left, (r1, r2, r3, r4)
+        off = jnp.int32(0)
+        recs = []
+        for j in range(_PAIRS):
+            off, is_dc, left, ra, rb = one_pair(
+                off, is_dc, left, wins, j == 0
+            )
+            recs += [ra, rb]
+        return pos + off, is_dc, left, recs
 
     def body(state):
         i, pos, is_dc, left, pbuf = state
         recs = []
         for _ in range(_UNROLL):
-            pos, is_dc, left, r4 = decode4(pos, is_dc, left)
-            recs += list(r4)
+            pos, is_dc, left, rs = decode_step(pos, is_dc, left)
+            recs += rs
         pbuf = jax.lax.dynamic_update_slice(
             pbuf, jnp.stack(recs), (i, 0, 0)
         )
-        return i + 4 * _UNROLL, pos, is_dc, left, pbuf
+        return i + 2 * _PAIRS * _UNROLL, pos, is_dc, left, pbuf
 
     def cond(state):
         i, pos, is_dc, left, pbuf = state
