@@ -123,9 +123,14 @@ def _worker():
             for k in keys
         )
         h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+        from tinyimgcodec_tpu.ops.entropy_decode import (
+            suggest_budget_rows,
+        )
+
         fn = _build_decode_sharded(
             _MeshKey(mesh), per, nb, bucket, c_max, 50, "fast", False,
             stride, h8, w8,
+            suggest_budget_rows(wl, per * nb, stride, margin=1.5),
         )
 
         def run_once():

@@ -372,3 +372,23 @@ def test_decompress_batch_mixed_shapes_degrades_to_groups():
     # uniform batches keep the stacked-array contract
     uni = eng.decompress_batch(streams[:2])
     assert isinstance(uni, np.ndarray) and uni.shape == (2, 64, 64)
+
+
+def test_decompress_batch_sharded_dense_outlier_degrades():
+    """Sharded decode uses a content-adaptive budget (batch average);
+    a dense outlier image whose chunks exhaust it must fall back to the
+    host decoder per image, keeping output parity-exact."""
+    from tinyimgcodec_tpu.parallel.batch import decompress_batch_sharded
+
+    rng = np.random.RandomState(41)
+    noise = rng.randint(0, 256, (64, 64)).astype(np.uint8)
+    imgs = [synthetic_image(64, 64, seed=70 + i) for i in range(15)]
+    imgs.insert(5, noise)  # one dense image among smooth ones
+    streams = [
+        container.compress(im, quality=90, block_index=True)
+        for im in imgs
+    ]
+    out = decompress_batch_sharded(streams)
+    assert out is not None
+    gold = np.stack([container.decompress(s) for s in streams])
+    assert np.array_equal(out, gold)

@@ -106,3 +106,33 @@ def test_native_and_python_decoders_agree_on_garbage():
         b = container.decompress_to_arrays(bytes(mut), use_native=False)
         assert np.array_equal(a.dc, b.dc)
         assert np.array_equal(a.ac, b.ac)
+
+
+def test_device_decode_path_fuzz_matches_host_oracle():
+    """Corrupt TICX streams through the DEVICE entropy decoder (chain +
+    continuation + validation) must produce exactly the host oracle's
+    graceful-degradation pixels: bad chunks fail validation and the
+    whole image host-decodes, so outputs agree bit-for-bit."""
+    from tinyimgcodec_tpu.engine import Engine
+
+    eng = Engine("exact", use_pallas=False)
+    eng._device_entropy = True
+    rng = np.random.RandomState(13)
+    base = bytearray(
+        _valid_stream(seed=21, shape=(64, 64), block_index=True,
+                      index_stride=16)
+    )
+    for trial in range(8):
+        mut = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            i = rng.randint(16, len(mut))
+            mut[i] ^= 1 << rng.randint(0, 8)
+        data = bytes(mut)
+        dev = eng.decompress(data)
+        host = container.decompress(data)
+        assert np.array_equal(dev, host), f"trial {trial} diverged"
+    # truncating INSIDE the payload invalidates the trailer bookkeeping
+    # -> parse_block_index rejects -> device path is skipped cleanly
+    half = bytes(base[: len(base) // 2])
+    assert np.array_equal(eng.decompress(half),
+                          container.decompress(half))

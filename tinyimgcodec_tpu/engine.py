@@ -544,11 +544,13 @@ class Engine:
         # spot (12, the round-4 default, exhausted HALF the corpus
         # chunks and the old from-scratch worst-case rerun dominated,
         # reports/perf_breakdown_r05.md).
-        est_rows = wl * 32.0 / max(b * nb, 1) / 4.2 * 1.25
-        for mult in (16, 24, 32, 48, 68):
-            if mult >= min(est_rows, 68):
-                break
-        budget = stride * mult + 2
+        from .ops.entropy_decode import suggest_budget_rows
+
+        # margin 1.0: with continuation, under-budgeting is cheap
+        # (resumes cover exhausted subsets only), so the engine aims at
+        # the density MEAN; the sharded path, which has no
+        # continuation, uses the generous default margin instead
+        budget = suggest_budget_rows(wl, b * nb, stride, margin=1.0)
         entropy, merge, xform = self._devdec_fn(
             b, nb, bucket, int(quality), self.precision, scaled,
             stride, budget,
@@ -615,7 +617,10 @@ class Engine:
         h8 = -(-h // 8) * 8
         w8 = -(-w // 8) * 8
         imgs = np.asarray(transform.unblockify(blocks, h8, w8))
-        imgs = np.ascontiguousarray(imgs[:, :h, :w])
+        # explicit copy: for block-aligned shapes the crop slice is the
+        # whole array and ascontiguousarray would return the READ-ONLY
+        # device-backed view, crashing the corrupt-chunk fallback below
+        imgs = np.array(imgs[:, :h, :w])
         if not ok_np.all():
             for i in np.unique(prep["chunk_img"][~ok_np]):
                 imgs[i] = container.decompress(streams[int(i)])

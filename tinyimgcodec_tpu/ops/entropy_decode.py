@@ -645,6 +645,23 @@ def entropy_decode_chunks(
     return zz, ok_out, ex_out
 
 
+def suggest_budget_rows(payload_words: int, nb_total: int,
+                        stride: int, margin: float = 1.5) -> int:
+    """Content-adaptive first-pass slot budget (rows per chunk).
+
+    Payload bits predict symbols at ~4.2 bits/symbol (q=50 corpus: 67
+    bits/block over ~15 slot rows; q=90: 115 over ~35 -- denser content
+    uses SHORTER codes); ``margin`` covers the density tail.  Bucketed
+    to a fixed ladder so jit signatures stay bounded; 68 is the exact
+    worst case (MAX_BLOCK_SYMBOLS).
+    """
+    est = payload_words * 32.0 / max(nb_total, 1) / 4.2 * margin
+    for mult in (16, 24, 32, 48, 68):
+        if mult >= min(est, 68):
+            break
+    return int(stride) * mult + 2
+
+
 def prepare_batch(streams: list[bytes]):
     """Host-side prep: uniform TICX standard-table streams -> device
     input arrays.

@@ -525,10 +525,18 @@ def compress_batch_pallas_sharded(
 @functools.cache
 def _build_decode_sharded(mesh_key, per: int, nb: int, bucket: int,
                           c_max: int, quality: int, precision: str,
-                          scaled: bool, stride: int, h8: int, w8: int):
+                          scaled: bool, stride: int, h8: int, w8: int,
+                          budget_rows: int | None = None):
     """Data-parallel decode body: each device entropy-decodes and
     inverse-transforms its shard of streams (ops/entropy_decode.py is
-    pure XLA, so the same program runs on any backend)."""
+    pure XLA, so the same program runs on any backend).
+
+    budget_rows: content-adaptive slot budget (None = the exact worst
+    case).  shard_map admits no host-controlled continuation, so chunks
+    that exhaust a budgeted pass report ok=False and their images take
+    the per-image host fallback -- rare with the suggest_budget_rows
+    margin, and a ~4x cheaper pass than the worst case on typical
+    content."""
     ensure_cache()
     mesh = mesh_key.mesh
     axis = mesh.axis_names[0]
@@ -538,7 +546,7 @@ def _build_decode_sharded(mesh_key, per: int, nb: int, bucket: int,
     def body(words, cs, cb, cbb, lo, hi):  # leading local shard dim 1
         zz, ok, _ = entropy_decode_chunks(
             words[0], cs[0], cb[0], cbb[0], lo[0], hi[0],
-            nb_total=per * nb, stride=stride, max_symbols=None,
+            nb_total=per * nb, stride=stride, max_symbols=budget_rows,
             layout=(per, nb),
         )
         zzb = zz.reshape(per, nb, 64)
@@ -617,9 +625,16 @@ def decompress_batch_sharded(
         c = len(p["chunk_start"])
         for k in keys:
             chunk_arrs[k][i, :c] = p[k]
+    from ..ops.entropy_decode import suggest_budget_rows
+
+    budget_rows = suggest_budget_rows(
+        max(len(p["words"]) for p in preps), per * nb, stride,
+        margin=1.5,
+    )
     fn = _build_decode_sharded(
         _MeshKey(mesh), per, nb, bucket, c_max, int(quality),
         precision, bool(p0["scaled_dct"]), stride, h8, w8,
+        budget_rows,
     )
     imgs, ok, flg = jax.device_get(fn(
         words, *(chunk_arrs[k] for k in keys)
