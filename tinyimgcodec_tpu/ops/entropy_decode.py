@@ -10,22 +10,31 @@ exact payload bit offset of every ``stride``-th block, so a stream is
 This module decodes all chunks of a whole batch of streams AT ONCE on
 the accelerator, with no Huffman LUT and no per-symbol host work:
 
-1. **Chain following** (the only serial part, vectorized across chunks):
-   every chunk carries a bit cursor; each ``lax.while_loop`` iteration
-   decodes 2 * _UNROLL symbols PER CHUNK -- per symbol pair, one
-   contiguous 5-half-cell gather (80 bits from the cursor) plus two
-   dependent lookups in a packed 512 KB ``(mode, 16-bit window) ->
-   (len, size, run, EOB, advance)`` table, with values, signs (JPEG
+1. **Chain following** (the only serial part, vectorized across
+   chunks): every chunk carries a bit cursor; each chain step decodes
+   up to 2 * _PAIRS symbols PER CHUNK from ONE contiguous
+   4*_PAIRS-half-cell uint16 payload gather plus _PAIRS rows of a
+   packed PAIRED ``(mode, 16-bit window) -> (len, size, run, EOB,
+   advance) x 2`` table (each row also carries the speculative decode
+   of the FOLLOWING symbol when both codes share the window) -- 0.75
+   serialized gathers per symbol; the chain is gather-throughput-bound
+   (reports/perf_breakdown_r05.md).  Values, signs (JPEG
    one's-complement, reference bitbuffer.py:61-65) and record packing
-   done in-register.  Iterations run until every chunk has finished
-   its blocks, writing one record slab per iteration.
+   happen in-register; _UNROLL steps write one record slab per
+   ``lax.while_loop`` iteration, until every chunk has finished its
+   blocks or the slot budget runs out (callers RESUME exhausted chunks
+   from the returned cursor state).
 2. **Record unpack** (fully parallel over all recorded slots, zero
    gathers): the chain already decoded value/run/kind/EOB into each
-   record word.
-3. **Reassembly** (parallel scans): per-chunk running block counter
-   (cumsum of DC slots) + intra-block zig-zag position via a
-   reset-at-DC segmented cumsum (cummax trick), then one scatter into
-   the ``(nb_total, 64)`` coefficient tensor.
+   record word; the buffer transposes to chunk-major so the segmented
+   scans below run on the lane-tiled last axis.
+3. **Reassembly** (parallel scans + MXU): per-chunk running block
+   counter (cumsum of DC slots) + intra-block zig-zag position via a
+   reset-at-DC segmented cumsum (cummax trick), then -- for canonical
+   layouts -- a batched one-hot bf16 matmul places every slot into the
+   ``(nb_total, 64)`` coefficient tensor (values ride in two <=8-bit
+   pieces, exact on the MXU); arbitrary chunk subsets (resumes) use a
+   sorted scatter instead.
 
 Validation is explicit: a chunk is ``ok`` only if it decoded exactly its
 block count, every coefficient landed in [0, 63], and its final cursor
@@ -254,10 +263,11 @@ def entropy_decode_chunks(
     #    <= 16 bits by construction; magnitude bits extending past the
     #    window only contribute their COUNT, which the window
     #    determines.)
-    #  * ov32[j] = payload bits [16j, 16j+32) -- any 16-bit window is
-    #    ONE gather + shift instead of two word gathers.  (A previous
-    #    variant precomputed 224 MB of per-bit-position next tables:
-    #    random HBM gathers measured SLOWER than recomputing.)
+    #  * hq[j] = 4*_PAIRS consecutive 16-bit half-cells from cell j --
+    #    one contiguous uint16 row gather yields every window a whole
+    #    chain step needs.  (A previous variant precomputed 224 MB of
+    #    per-bit-position next tables: random HBM gathers measured
+    #    SLOWER than recomputing.)
     w16_all = jnp.arange(65536, dtype=jnp.int32)
     w16_u = (w16_all << 16).astype(jnp.uint32)
     l_dc, cat = _decode_symbol(w16_u, dc_tab)
