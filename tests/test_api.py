@@ -74,7 +74,8 @@ def test_auto_table_device_matches_host_bytes(lenna, quality):
         backend="jax",
     )
     host = container.compress(
-        lenna, quality, auto_generate_huffman_table=True
+        lenna, quality, auto_generate_huffman_table=True,
+        block_index=True,
     )
     assert dev == host
     out = api.decompress(dev)
@@ -96,7 +97,7 @@ def test_auto_table_odd_shape(small_image):
         small_image, quality=35, auto_generate_huffman_table=True,
         backend="jax",
     )
-    host = container.compress(small_image, 35, True)
+    host = container.compress(small_image, 35, True, block_index=True)
     assert data == host
     np.testing.assert_array_equal(
         api.decompress(data), container.decompress(host)

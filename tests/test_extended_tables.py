@@ -76,7 +76,8 @@ def test_engine_extended_matches_host_bytes(contrast_image):
         auto_generate_huffman_table=True, backend="jax",
     )
     data_h = container.compress(
-        contrast_image, 99, auto_generate_huffman_table=True
+        contrast_image, 99, auto_generate_huffman_table=True,
+        block_index=True,
     )
     assert data_j == data_h
 

@@ -76,10 +76,10 @@ def compress(
     precision: "exact" (byte-identical to the float64 reference) or
     "fast" (f32 transform; rare rounding ties may differ).
     block_index: append the TICX block-offset trailer so decoders can
-    entropy-decode chunks in parallel.  Default ON for standard-table
-    streams (None resolves per CodecConfig): the payload stays
-    byte-identical to the reference encoder's and reference decoders
-    ignore the trailer, at ~1.3% size cost (docs/FORMAT.md); pass
+    entropy-decode chunks in parallel.  Default ON (None resolves per
+    CodecConfig) for both table kinds: the payload stays byte-identical
+    to the reference encoder's and reference decoders ignore the
+    trailer, at ~1.3% size cost (docs/FORMAT.md); pass
     ``block_index=False`` for trailer-free bytes.
     config: a validated CodecConfig; overrides the loose kwargs.
     """
@@ -215,7 +215,8 @@ def decompress_batch(
     """Compressed streams -> decoded uint8 images.
 
     The batch decode entry point: on TPU backends, TICX-indexed
-    standard-table batches entropy-decode fully ON DEVICE
+    batches (standard tables, or uniform standard-range dynamic
+    tables) entropy-decode fully ON DEVICE
     (chunk-parallel, ops/entropy_decode.py); otherwise entropy decode
     runs thread-parallel through the native C LUT decoder and ONE
     batched device program runs the transform half.  Uniform batches

@@ -20,13 +20,12 @@ class CodecConfig:
     auto_huffman_table: bool = False  # embed frequency-optimal tables
     block_index: bool | None = None  # append the TICX parallel-decode
     #                             trailer.  None (the default) resolves
-    #                             to ON for standard-table streams --
-    #                             the device entropy decoder needs it,
-    #                             it costs ~1.3% at stride 64, and
-    #                             reference decoders ignore it
-    #                             (docs/FORMAT.md) -- and OFF when
-    #                             auto_huffman_table is set (the trailer
-    #                             is standard-table-only).
+    #                             to ON: the device entropy decoder
+    #                             needs it, it costs ~1.3% at stride 64,
+    #                             and reference decoders ignore it
+    #                             (docs/FORMAT.md).  Dynamic-table
+    #                             streams carry the same payload-
+    #                             relative trailer since round 5.
     index_stride: int = 64      # blocks per TICX chunk (power of two);
     #                             smaller = more decode parallelism,
     #                             ~4*nb/stride trailer bytes per image
@@ -62,14 +61,7 @@ class CodecConfig:
                 f"index_stride must be <= 4096, got {self.index_stride}"
             )
         if self.block_index is None:
-            object.__setattr__(
-                self, "block_index", not self.auto_huffman_table
-            )
-        elif self.block_index and self.auto_huffman_table:
-            raise ValueError(
-                "block_index is a standard-table-only feature; it cannot "
-                "be combined with auto_huffman_table (docs/FORMAT.md)"
-            )
+            object.__setattr__(self, "block_index", True)
 
 
 # The embedded encoder's qfactor enum (reference c/img.h:22).

@@ -221,24 +221,20 @@ def compress_arrays(
     """``spec``: a prebuilt HuffmanSpec for the auto-table path (skips
     recomputing histograms when the caller already built one)."""
     writer = BitWriter()
+    offsets: list[int] | None = [] if block_index else None
     if auto_generate_huffman_table:
-        if block_index:
-            # the TICX trailer is a standard-table-only feature (the
-            # index-parallel C decoder peeks with the standard LUTs)
-            raise ValueError(
-                "block_index is not supported with "
-                "auto_generate_huffman_table (see docs/FORMAT.md)"
-            )
         if spec is None:
             spec = build_huffman_spec(arrays)
         tables = spec.string_tables()
         writer.write_bytes(make_header(arrays, custom_table=True))
         write_huffman_table(writer, tables)
-        _encode_payload(arrays, tables, writer)
-        return writer.to_bytes()
-    writer.write_bytes(make_header(arrays))
-    offsets: list[int] | None = [] if block_index else None
-    _encode_payload(arrays, _DEFAULT_TABLES, writer, offsets)
+        # TICX offsets are PAYLOAD-relative (bit 0 = first payload bit,
+        # i.e. right after the table segment), so the trailer layout is
+        # identical for standard- and custom-table streams.
+        _encode_payload(arrays, tables, writer, offsets)
+    else:
+        writer.write_bytes(make_header(arrays))
+        _encode_payload(arrays, _DEFAULT_TABLES, writer, offsets)
     data = writer.to_bytes()
     if offsets is not None:
         data += make_block_index(
@@ -305,10 +301,24 @@ def decompress_to_arrays(
                 # realign by re-packing the remaining bits
                 from .bitstream import bits_to_bytes
 
-                payload = bits_to_bytes(reader._bits[payload_off:])
-                dc, ac = native.entropy_decode(
-                    payload, nblocks, dc_lut, ac_lut
-                )
+                idx = parse_block_index(data, nblocks)
+                if idx is not None and nblocks > idx[1]:
+                    # TICX offsets are payload-relative, so the index-
+                    # parallel path works unchanged on the realigned
+                    # payload with the stream's own LUTs
+                    chunk_off, stride, pay_end = idx
+                    payload = bits_to_bytes(
+                        reader._bits[payload_off:pay_end * 8]
+                    )
+                    dc, ac = native.entropy_decode_indexed(
+                        payload, nblocks, chunk_off, stride,
+                        dc_lut, ac_lut, max_workers=index_workers,
+                    )
+                else:
+                    payload = bits_to_bytes(reader._bits[payload_off:])
+                    dc, ac = native.entropy_decode(
+                        payload, nblocks, dc_lut, ac_lut
+                    )
             else:
                 idx = parse_block_index(data, nblocks)
                 if idx is not None and nblocks > idx[1]:

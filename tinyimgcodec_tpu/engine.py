@@ -300,17 +300,18 @@ class Engine:
     ) -> bytes:
         image = np.asarray(image)
         if block_index is None:
-            # default ON (standard-table streams): the TICX trailer is
-            # what makes the chunk-parallel device decoder reachable
-            # from default-compressed streams (round-4 verdict #2)
-            block_index = not auto_table
+            # default ON: the TICX trailer is what makes the
+            # chunk-parallel device decoder reachable from
+            # default-compressed streams (round-4 verdict #2) --
+            # dynamic-table streams included since round 5 (their
+            # parsed tables ride the same device chain as runtime
+            # tensors when standard-range, ops/entropy_decode.py)
+            block_index = True
         if auto_table:
-            if block_index:
-                raise ValueError(
-                    "block_index is a standard-table-only feature "
-                    "(docs/FORMAT.md)"
-                )
-            return self._compress_auto_table(image, quality)
+            return self._compress_auto_table(
+                image, quality, block_index=block_index,
+                index_stride=index_stride,
+            )
         if self._pallas_compatible(image):
             from .pallas_pipeline import compress_batch_pallas
 
@@ -370,7 +371,11 @@ class Engine:
 
         return self._jax.jit(run)
 
-    def _compress_auto_table(self, image: np.ndarray, quality: int) -> bytes:
+    def _compress_auto_table(
+        self, image: np.ndarray, quality: int,
+        block_index: bool = False,
+        index_stride: int = container.INDEX_STRIDE,
+    ) -> bytes:
         """Frequency-optimal tables with device transform + device entropy.
 
         The reference's auto_generate_huffman_table path is broken on its
@@ -379,6 +384,9 @@ class Engine:
         histograms (huffman.symbol_counts) feed the identical canonical
         table builder, then entropy coding runs on device with the table
         arrays as traced inputs (one compiled program for every table).
+        block_index appends the payload-relative TICX trailer (same
+        layout as standard-table streams, docs/FORMAT.md), making the
+        stream eligible for the chunk-parallel device decoder.
         """
         from .huffman import build_huffman_spec_from_counts, symbol_counts
 
@@ -415,14 +423,20 @@ class Engine:
             # entropy layout is standard-range, so emit via the host
             # container path with the extended dynamic tables --
             # same canonical builder, same bytes as container.compress.
-            return container.compress_arrays(arrays, True, spec=spec)
+            return container.compress_arrays(
+                arrays, True, block_index=block_index, spec=spec,
+                index_stride=index_stride,
+            )
         words, block_bits, overflow = self._entropy_custom(
             dc, ac, *spec.device_tables()
         )
         if bool(overflow):
             # custom table exceeded the device layout's capacity bounds
             # (needs >64-bit slot payloads); rare -- same-bytes host path.
-            return container.compress_arrays(arrays, True, spec=spec)
+            return container.compress_arrays(
+                arrays, True, block_index=block_index, spec=spec,
+                index_stride=index_stride,
+            )
         words = np.asarray(words)
         block_bits = np.asarray(block_bits)
         writer = BitWriter()
@@ -436,15 +450,25 @@ class Engine:
             payload = native.stitch(words, block_bits)
         else:
             payload = pack_ragged_words(words, block_bits)
-        return concat_bit_payload(
+        data = concat_bit_payload(
             writer.to_bytes(), prefix_bits, payload,
             int(block_bits.sum()),
         )
+        if block_index:
+            # payload-relative offsets = exclusive bit cumsum, free
+            # from the device's block_bits output (same as the
+            # standard-table path above)
+            offsets = np.cumsum(block_bits, dtype=np.int64) - block_bits
+            data += container.make_block_index(
+                offsets, stride=index_stride
+            )
+        return data
 
     # -- device entropy decode (TICX chunk-parallel, pure XLA) ---------
     def _build_device_decode(self, b: int, nb: int, wlen: int,
                              quality: int, precision: str, scaled: bool,
-                             stride: int, max_symbols: int | None):
+                             stride: int, max_symbols: int | None,
+                             custom: bool = False):
         """Programs for the CONTINUATION decode: a budgeted first pass
         over the full canonical batch (scatter-free matmul reassembly),
         resume passes that pick exhausted chunks up from their saved
@@ -459,11 +483,16 @@ class Engine:
 
         from .ops.entropy_decode import entropy_decode_chunks
 
-        def entropy(words, starts, blocks_c, bases, lo, hi):
+        def entropy(words, starts, blocks_c, bases, lo, hi, *tabs):
+            # tabs: 8 runtime table tensors for dynamic-table streams
+            # (mincode/maxcode/valptr/huffval x DC/AC) -- empty for the
+            # standard tables, whose XLA program is pinned byte-equal
+            # to the standard-only design (tables constant-fold)
+            tables = (tuple(tabs[:4]), tuple(tabs[4:])) if custom else None
             return entropy_decode_chunks(
                 words, starts, blocks_c, bases, lo, hi,
                 nb_total=b * nb, stride=stride, max_symbols=max_symbols,
-                layout=(b, nb), return_state=True,
+                layout=(b, nb), return_state=True, tables=tables,
             )
 
         def merge(zz, zz_sub):
@@ -482,7 +511,8 @@ class Engine:
 
     def _build_device_resume(self, b: int, nb: int, wlen: int,
                              quality: int, precision: str, scaled: bool,
-                             stride: int, max_symbols: int | None):
+                             stride: int, max_symbols: int | None,
+                             custom: bool = False):
         """A continuation pass: picks chunks up from saved cursor state
         and decodes at most ``max_symbols`` more slot rows (None = the
         exact worst-case bound, unpaired, which always finishes)."""
@@ -490,18 +520,21 @@ class Engine:
 
         from .ops.entropy_decode import entropy_decode_chunks
 
-        def resume(words, starts, blocks_c, bases, lo, hi, *st):
+        def resume(words, starts, blocks_c, bases, lo, hi, *rest):
+            st, tabs = rest[:5], rest[5:]
+            tables = (tuple(tabs[:4]), tuple(tabs[4:])) if custom else None
             return entropy_decode_chunks(
                 words, starts, blocks_c, bases, lo, hi,
                 nb_total=b * nb, stride=stride, max_symbols=max_symbols,
                 paired=max_symbols is not None, layout=None,
-                resume=tuple(st), return_state=True,
+                resume=tuple(st), return_state=True, tables=tables,
             )
 
         return jax.jit(resume)
 
     def _decompress_batch_device(self, streams: list[bytes]):
-        """Uniform TICX standard-table streams -> (B, H, W) uint8, with
+        """Uniform TICX streams (standard OR shared dynamic tables,
+        ops/entropy_decode.prepare_batch) -> (B, H, W) uint8, with
         the entropy stage on device.  Returns None when the batch is
         ineligible (caller falls back to the host entropy path); chunks
         that fail validation (corrupt streams) degrade per image to the
@@ -527,6 +560,15 @@ class Engine:
         chunk_keys = ("chunk_start", "chunk_blocks", "chunk_block_base",
                       "chunk_end_lo", "chunk_end_hi")
         args = tuple(jnp.asarray(prep[k]) for k in chunk_keys)
+        # dynamic-table streams: the canonical decode tables ride as
+        # runtime tensors, so every table shares ONE compiled program
+        # per batch shape (a per-image auto table never recompiles)
+        custom = prep["tables"] is not None
+        tab_args = ()
+        if custom:
+            tab_args = tuple(
+                jnp.asarray(a) for t in prep["tables"] for a in t
+            )
         # Budgeted first pass + CONTINUATION: the slot buffers (and the
         # post-chain phases, O(budget * chunks)) size to the batch's
         # OWN density; chunks that exhaust the budget RESUME from their
@@ -553,9 +595,9 @@ class Engine:
         budget = suggest_budget_rows(wl, b * nb, stride, margin=1.0)
         entropy, merge, xform = self._devdec_fn(
             b, nb, bucket, int(quality), self.precision, scaled,
-            stride, budget,
+            stride, budget, custom,
         )
-        zz, ok, exhausted, state = entropy(dev_words, *args)
+        zz, ok, exhausted, state = entropy(dev_words, *args, *tab_args)
         ok_np, exh_np = self._jax.device_get((ok, exhausted))
         ok_np = ok_np.copy()
         state_np = None
@@ -567,7 +609,7 @@ class Engine:
                 break
             fn = self._devdec_resume_fn(
                 b, nb, bucket, int(quality), self.precision, scaled,
-                stride, res_budget,
+                stride, res_budget, custom,
             )
             if state_np is None:
                 state_np = [np.asarray(a) for a in
@@ -588,7 +630,7 @@ class Engine:
                 ]))
             sub = tuple(jnp.asarray(sub_np[k]) for k in chunk_keys)
             zz_sub, ok_sub, ex_sub, st_sub = fn(
-                dev_words, *sub, *(jnp.asarray(a) for a in st)
+                dev_words, *sub, *(jnp.asarray(a) for a in st), *tab_args
             )
             zz = merge(zz, zz_sub)
             ok_np[idx] = np.asarray(ok_sub)[: len(idx)]
@@ -638,7 +680,8 @@ class Engine:
         """Decode a batch of streams: C entropy decode per stream (the
         serial part; streams decoded concurrently -- the ctypes call
         releases the GIL), ONE batched device transform for all of them.
-        TICX-indexed standard-table batches skip the host entirely on
+        TICX-indexed batches (standard or uniform standard-range
+        dynamic tables) skip the host entirely on
         TPU backends (chunk-parallel device entropy decode).
 
         Uniform batches return a stacked ``(B, H, W)`` array.  Mixed

@@ -44,8 +44,14 @@ host decoder per image instead of silently mis-decoding (the reference's
 graceful-degradation contract, codec.py:178-186, stays with the host
 oracle).
 
-Standard-table streams only -- the same constraint as the TICX trailer
-itself (custom-table streams never carry one, docs/FORMAT.md).
+Tables: the standard Annex-K tables compile as constants (the fast
+path); dynamic-table streams decode through the SAME programs with
+their parsed tables passed as runtime tensors (``tables=``), provided
+the table is canonical, 16-bit-limited, and standard-range (DC category
+<= 11 / AC size <= 10 -- the same bound as the device ENCODER's layout,
+huffman.py ``HuffmanSpec.extended``); :func:`canonical_tables` performs
+that admission check on the host.  Extended-range or non-canonical
+tables fall back to the host decoder.
 """
 
 from __future__ import annotations
@@ -107,6 +113,81 @@ def _decode_tables():
     return build(DC_BITS, DC_HUFFVAL), build(AC_BITS, AC_HUFFVAL)
 
 
+def canonical_tables(tables: dict):
+    """Parsed string-code tables -> ((dc), (ac)) in T.81 F.2.2.3 form.
+
+    Host-side admission check for device decode of dynamic-table
+    streams (container.read_huffman_table output).  Returns the same
+    (mincode, maxcode, valptr, huffval) tuples as :func:`_decode_tables`
+    (huffval zero-padded to 256 so jit signatures are table-independent)
+    or None when the table cannot drive the device chain:
+
+    * a code longer than 16 bits (the chain decodes via 16-bit windows);
+    * codes that are not CANONICAL (per-length consecutive, numbered by
+      the standard shift law) -- _code_len's first-match rule is only
+      correct for canonical codes, and this codec's own builder
+      (huffman._canonical_codes) always emits them; foreign tables that
+      are not canonical fall back to the host bit-cursor;
+    * extended-range symbols (DC category > 11 / AC size > 10): value
+      reassembly carries coefficients in two <=8-bit MXU pieces
+      (|v| <= 2047) and the pair-window invariant assumes <= 27-bit
+      symbols -- the same standard-range bound as the device ENCODER
+      (huffman.HuffmanSpec.extended, engine.py:412-418).
+    """
+    from ..constants import AC as AC_KEY
+    from ..constants import DC as DC_KEY
+
+    def build(code_map, sym_value):
+        if not code_map:
+            return None
+        items = []
+        for sym, s in code_map.items():
+            l = len(s)
+            if l < 1 or l > 16:
+                return None
+            v = sym_value(sym)
+            if v is None:
+                return None
+            items.append((l, int(s, 2), v))
+        items.sort()
+        mincode = np.zeros(17, np.int32)
+        maxcode = np.full(17, -1, np.int32)
+        valptr = np.zeros(17, np.int32)
+        huffval = np.zeros(256, np.int32)
+        code = 0
+        prev_l = 0
+        for k, (l, c, v) in enumerate(items):
+            code <<= l - prev_l
+            prev_l = l
+            if c != code:  # not the canonical numbering
+                return None
+            if maxcode[l] < 0:
+                mincode[l] = code
+                valptr[l] = k
+            maxcode[l] = code
+            huffval[k] = v
+            code += 1
+        return mincode, maxcode, valptr, huffval
+
+    def dc_sym(cat):
+        return cat if isinstance(cat, int) and 0 <= cat <= 11 else None
+
+    def ac_sym(rs):
+        try:
+            run, size = rs
+        except (TypeError, ValueError):
+            return None
+        if 0 <= run <= 15 and 0 <= size <= 10:
+            return (run << 4) | size
+        return None
+
+    dc = build(tables[DC_KEY], dc_sym)
+    ac = build(tables[AC_KEY], ac_sym)
+    if dc is None or ac is None:
+        return None
+    return dc, ac
+
+
 def _code_len(w16, maxcode):
     """Length of the canonical codeword in the high bits of w16.
 
@@ -116,14 +197,26 @@ def _code_len(w16, maxcode):
     never match).  Statically unrolled descending so the smallest
     matching l wins without materializing an (..., 16) intermediate.
     Garbage windows that match nothing keep the fallback 16 --
-    downstream validation rejects the chunk."""
+    downstream validation rejects the chunk.
+
+    maxcode may be a host constant (standard tables -- unused lengths
+    prune at trace time, keeping that XLA program unchanged) or a
+    traced tensor (dynamic-table streams -- the unused-length guard
+    joins the predicate instead)."""
     import jax.numpy as jnp
 
     out = jnp.full(w16.shape, 16, jnp.int32)
+    host = isinstance(maxcode, np.ndarray)
     for l in range(16, 0, -1):
-        if maxcode[l] < 0:  # host constant: unused code length
-            continue
-        out = jnp.where(w16 >> (16 - l) <= maxcode[l], l, out)
+        if host:
+            if maxcode[l] < 0:  # host constant: unused code length
+                continue
+            out = jnp.where(w16 >> (16 - l) <= maxcode[l], l, out)
+        else:
+            out = jnp.where(
+                (w16 >> (16 - l) <= maxcode[l]) & (maxcode[l] >= 0),
+                l, out,
+            )
     return out
 
 
@@ -170,6 +263,7 @@ def entropy_decode_chunks(
     paired: bool | None = None,
     resume=None,
     return_state: bool = False,
+    tables=None,
     _return_records: bool = False,
 ):
     """Decode all chunks of a (multi-stream) payload word array.
@@ -220,7 +314,16 @@ def entropy_decode_chunks(
     import jax
     import jax.numpy as jnp
 
-    dc_tab, ac_tab = _decode_tables()
+    # tables: None = the standard Annex-K tables as trace-time
+    # constants (phase 0 constant-folds; the XLA program is unchanged
+    # from the standard-only design).  Otherwise a
+    # ((mincode, maxcode, valptr, huffval) x 2) tuple of RUNTIME
+    # tensors from canonical_tables() -- dynamic-table streams share
+    # one compiled program across all tables of a given batch shape.
+    if tables is None:
+        dc_tab, ac_tab = _decode_tables()
+    else:
+        dc_tab, ac_tab = tables
     c = chunk_start.shape[0]
     # Slot ROWS: the pair-step chain decodes two symbols per step (the
     # gathered 80-bit window always covers a legal symbol pair, <= 52
@@ -681,14 +784,20 @@ def suggest_budget_rows(payload_words: int, nb_total: int,
 
 
 def prepare_batch(streams: list[bytes]):
-    """Host-side prep: uniform TICX standard-table streams -> device
-    input arrays.
+    """Host-side prep: uniform TICX streams -> device input arrays.
 
     Returns None if any stream is ineligible (no/invalid TICX trailer,
-    custom table, payload too large for 31-bit cursors), else a dict of
-    numpy arrays + metadata for :func:`entropy_decode_chunks`.
+    non-uniform shape/quality/tables, inadmissible dynamic table --
+    :func:`canonical_tables` -- or payload too large for 31-bit
+    cursors), else a dict of numpy arrays + metadata for
+    :func:`entropy_decode_chunks`.  Dynamic-table streams contribute a
+    ``"tables"`` entry (the canonical decode tuples) and have their
+    payloads realigned to byte boundaries here (the table segment ends
+    off-byte); TICX offsets are payload-relative in both layouts
+    (container.py), so the chunk math is identical.
     """
     from .. import container
+    from ..bitstream import BitReader, bits_to_bytes
     from ..constants import (
         FLAG_CUSTOM_TABLE,
         FLAG_SCALED_DCT,
@@ -697,12 +806,11 @@ def prepare_batch(streams: list[bytes]):
 
     metas = []
     h0 = None
+    tables0 = None
     for data in streams:
         try:
             h, w, q, flag = container.parse_header(data)
         except Exception:
-            return None
-        if flag & FLAG_CUSTOM_TABLE:
             return None
         if h0 is None:
             h0 = (h, w, q)
@@ -713,19 +821,44 @@ def prepare_batch(streams: list[bytes]):
         if idx is None:
             return None
         off, stride, pay_end = idx
-        metas.append((data, nb, off, stride, pay_end, flag))
+        if flag & FLAG_CUSTOM_TABLE:
+            try:
+                reader = BitReader(data)
+                reader.seek(HEADER_BYTES * 8)
+                tables = container.read_huffman_table(reader)
+            except Exception:
+                return None
+            payload_off = reader.tell()
+            if payload_off >= pay_end * 8:
+                return None
+            if tables0 is None:
+                tables0 = tables
+            elif tables != tables0:  # one table per compiled batch
+                return None
+            payload = bits_to_bytes(reader._bits[payload_off:pay_end * 8])
+            pay_bits_true = pay_end * 8 - payload_off
+        else:
+            payload = data[HEADER_BYTES:pay_end]
+            pay_bits_true = len(payload) * 8
+        metas.append((payload, nb, off, stride, pay_bits_true, flag))
     stride0 = metas[0][3]
     if any(m[3] != stride0 for m in metas):
         return None
     if any(m[5] != metas[0][5] for m in metas):  # uniform flags
         return None
+    tabs = None
+    if tables0 is not None:
+        tabs = canonical_tables(tables0)
+        if tabs is None:  # non-canonical / >16-bit / extended-range
+            return None
 
     word_chunks = []
     starts, blocks, bases, end_lo, end_hi, img_of = [], [], [], [], [], []
     base_bits = 0
     blk_base = 0
-    for i, (data, nb, off, stride, pay_end, flag) in enumerate(metas):
-        payload = data[HEADER_BYTES:pay_end]
+    for i, (payload, nb, off, stride, pay_bits_true, flag) in enumerate(
+        metas
+    ):
         pay_bits = len(payload) * 8
         pad = (-len(payload)) % 4
         word_chunks.append(payload + b"\x00" * pad)
@@ -741,8 +874,12 @@ def prepare_batch(streams: list[bytes]):
         hi = np.empty(n_chunks, np.int64)
         lo[:-1] = g[1:]
         hi[:-1] = g[1:]
-        lo[-1] = base_bits + max(pay_bits - 7, 0)
-        hi[-1] = base_bits + pay_bits
+        # the final cursor must land in the writer's <= 7-bit byte-align
+        # pad window, measured from the TRUE payload bit length (for
+        # realigned dynamic-table payloads the packbits byte padding is
+        # NOT part of the stream)
+        lo[-1] = base_bits + max(pay_bits_true - 7, 0)
+        hi[-1] = base_bits + pay_bits_true
         end_lo.append(lo)
         end_hi.append(hi)
         img_of.append(np.full(n_chunks, i, np.int64))
@@ -770,4 +907,5 @@ def prepare_batch(streams: list[bytes]):
         "shape": h0,
         "scaled_dct": bool(metas[0][5] & FLAG_SCALED_DCT)
         and not (metas[0][5] & FLAG_CUSTOM_TABLE),
+        "tables": tabs,
     }

@@ -599,6 +599,11 @@ def decompress_batch_sharded(
     preps = [prepare_batch(g) for g in groups]
     if any(p is None for p in preps):
         return None
+    if any(p["tables"] is not None for p in preps):
+        # dynamic-table streams decode through the single-device engine
+        # path (runtime-tensor tables); the shard_map program here is
+        # standard-table-only
+        return None
     p0 = preps[0]
     if any(
         (p["shape"], p["stride"], p["scaled_dct"])
