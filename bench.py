@@ -195,7 +195,12 @@ def bench_decode_entropy_device(streams, k=50, budget_mult=32):
     entropy decode + inverse DPCM + dequant/IDCT + untile, with the
     compressed words resident in HBM -- the chip's decode rate with no
     host in the loop (ops/entropy_decode.py).  Same k-loop
-    anti-hoisting discipline as bench_device."""
+    anti-hoisting discipline as bench_device.
+
+    Dynamic-table streams (uniform table) measure the SAME programs
+    with the parsed tables as runtime tensors, exactly as the engine
+    passes them -- including the per-call on-device info-table build.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -218,11 +223,19 @@ def bench_decode_entropy_device(streams, k=50, budget_mult=32):
         for key in ("chunk_start", "chunk_blocks", "chunk_block_base",
                     "chunk_end_lo", "chunk_end_hi")
     ]
+    tab_args = ()
+    if prep["tables"] is not None:
+        tab_args = tuple(
+            jax.device_put(jnp.asarray(a)) for t in prep["tables"]
+            for a in t
+        )
 
-    def step(words):
+    def step(words, tabs):
+        tables = (tuple(tabs[:4]), tuple(tabs[4:])) if tabs else None
         zz, ok, _ = entropy_decode_chunks(
             words, *consts, nb_total=b * nb, stride=stride,
             max_symbols=stride * budget_mult + 2, layout=(b, nb),
+            tables=tables,
         )
         zzb = zz.reshape(b, nb, 64)
         zz_abs = transform.undo_dpcm(zzb[..., 0], zzb[..., 1:])
@@ -235,21 +248,21 @@ def bench_decode_entropy_device(streams, k=50, budget_mult=32):
         )
 
     @jax.jit
-    def f(words):
+    def f(words, *tabs):
         def body(i, acc):
             eps = jnp.where(
                 acc == jnp.uint32(0xFFFFFFFF), jnp.uint32(1),
                 jnp.uint32(0),
             )
-            return acc + step(words ^ eps)
+            return acc + step(words ^ eps, tabs)
         return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
     dev_words = jax.device_put(jnp.asarray(prep["words"]))
-    jax.device_get(f(dev_words))
+    jax.device_get(f(dev_words, *tab_args))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.device_get(f(dev_words))
+        jax.device_get(f(dev_words, *tab_args))
         ts.append(time.perf_counter() - t0)
     dt = sorted(ts)[1] / k
     return b * h * w / 1e6 / dt
@@ -574,6 +587,26 @@ def main():
             _persist_partial(results)
             log(f"decode/device-dense-q90: "
                 f"{results['decode/device-dense-q90']:.1f} MP/s")
+
+            # dynamic-table stream through the same chain (round 5):
+            # one 2048x2048 mosaic with its frequency-optimal table
+            # riding as runtime tensors (incl. the per-call on-device
+            # info-table build the engine pays)
+            try:
+                t4m = np.concatenate(np.split(images[:16], 4), axis=2)
+                big2k = np.concatenate(
+                    [t[0] for t in np.split(t4m, 4)], axis=0
+                )
+                s_auto = eng.compress(big2k, 50, auto_table=True)
+                results["decode/device-custom-table"] = (
+                    bench_decode_entropy_device([s_auto], budget_mult=16)
+                )
+                _persist_partial(results)
+                log(f"decode/device-custom-table: "
+                    f"{results['decode/device-custom-table']:.1f} MP/s")
+            except Exception as e:  # pragma: no cover
+                log(f"decode custom-table FAILED: "
+                    f"{type(e).__name__}: {e}")
 
             # serial half alone: threaded C 16-bit-peek LUT entropy decode
             from concurrent.futures import ThreadPoolExecutor

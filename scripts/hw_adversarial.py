@@ -153,6 +153,21 @@ def main() -> int:
     check("device-entropy-decode-parity-q90-dense",
           np.array_equal(dev90, gold90))
 
+    # -- dynamic-table streams through the device decoder (round 5):
+    # runtime-tensor tables ride the same chain/reassembly programs --
+    # the value pieces cross an MXU matmul, so byte parity must be
+    # proven on the chip, not interpret mode ---------------------------
+    from tinyimgcodec_tpu.ops.entropy_decode import prepare_batch
+
+    for q in (50, 90):
+        s_auto = eng.compress(imgs[0], q, auto_table=True)
+        prep = prepare_batch([s_auto])
+        routed = prep is not None and prep["tables"] is not None
+        dev_a = eng.decompress(s_auto)
+        gold_a = container.decompress(s_auto)
+        check(f"device-entropy-decode-parity-custom-table-q{q}",
+              routed and np.array_equal(dev_a, gold_a), routed=routed)
+
     out_path = (
         pathlib.Path(__file__).parent.parent
         / "reports" / "hw_adversarial.json"
