@@ -165,6 +165,44 @@ def test_sharded_decode_rejects_custom_tables():
     assert decompress_batch_sharded([data, bytes(data)]) is None
 
 
+def test_corrupt_custom_trailer_degrades_to_serial():
+    # parse_block_index's off[-1] bound over-counts by the table-segment
+    # bits on custom streams; an offset landing in that window must
+    # still degrade to the serial cursor (prepare_batch/host indexed
+    # path re-validate against the TRUE payload bit length)
+    import struct
+
+    from tinyimgcodec_tpu.bitstream import BitReader
+    from tinyimgcodec_tpu.constants import HEADER_BYTES
+
+    img = synthetic_image(64, 64, seed=12)
+    data = bytearray(_auto_stream(img, 50, index_stride=8))
+    ref = container.decompress(
+        container.compress(img, 50, auto_generate_huffman_table=True)
+    )
+    nb = 64
+    body_len = struct.unpack_from("<I", data, len(data) - 8)[0]
+    start = len(data) - 8 - body_len
+    reader = BitReader(bytes(data))
+    reader.seek(HEADER_BYTES * 8)
+    container.read_huffman_table(reader)
+    pay_bits_true = start * 8 - reader.tell()
+    # last chunk offset -> inside the table-bits over-count window:
+    # >= true payload bits but < parse_block_index's loose bound
+    bogus = (start - HEADER_BYTES) * 8 - 1
+    assert bogus >= pay_bits_true
+    n_off = (body_len - 8) // 4
+    struct.pack_into("<I", data, start + 8 + 4 * (n_off - 1), bogus)
+    # loose structural parse still accepts it ...
+    assert container.parse_block_index(bytes(data), nb) is not None
+    # ... but the consumers reject and fall back to the serial cursor
+    assert ed.prepare_batch([bytes(data)]) is None
+    np.testing.assert_array_equal(container.decompress(bytes(data)), ref)
+    np.testing.assert_array_equal(
+        _device_engine().decompress(bytes(data)), ref
+    )
+
+
 def test_standard_path_unchanged_by_tables_arg():
     # tables=None must produce the exact standard-table program output
     img = synthetic_image(64, 64, seed=8)

@@ -302,6 +302,15 @@ def decompress_to_arrays(
                 from .bitstream import bits_to_bytes
 
                 idx = parse_block_index(data, nblocks)
+                if idx is not None and (
+                    idx[0][-1] >= idx[2] * 8 - payload_off
+                ):
+                    # parse_block_index's bound over-counts by the
+                    # table-segment bits here; a trailer whose last
+                    # offset lands past the TRUE payload end must
+                    # degrade to the serial cursor, like any other
+                    # invalid index
+                    idx = None
                 if idx is not None and nblocks > idx[1]:
                     # TICX offsets are payload-relative, so the index-
                     # parallel path works unchanged on the realigned

@@ -336,13 +336,21 @@ class Engine:
         else:
             data = header + pack_ragged_words(words, block_bits)
         if block_index:
-            # per-block payload offsets are the exclusive bit cumsum --
-            # free from the device's block_bits output
-            offsets = np.cumsum(block_bits, dtype=np.int64) - block_bits
-            data += container.make_block_index(
-                offsets, stride=index_stride
-            )
+            data = self._append_block_index(data, block_bits, index_stride)
         return data
+
+    @staticmethod
+    def _append_block_index(
+        data: bytes, block_bits: np.ndarray, index_stride: int
+    ) -> bytes:
+        """Append the TICX trailer: payload-relative per-block offsets
+        are the exclusive bit cumsum -- free from the device's
+        block_bits output (identical for standard and dynamic-table
+        streams, docs/FORMAT.md)."""
+        offsets = np.cumsum(block_bits, dtype=np.int64) - block_bits
+        return data + container.make_block_index(
+            offsets, stride=index_stride
+        )
 
     # -- dynamic-table encode ---------------------------------------------
     def _build_arrays(self, quality: int, precision: str):
@@ -455,13 +463,7 @@ class Engine:
             int(block_bits.sum()),
         )
         if block_index:
-            # payload-relative offsets = exclusive bit cumsum, free
-            # from the device's block_bits output (same as the
-            # standard-table path above)
-            offsets = np.cumsum(block_bits, dtype=np.int64) - block_bits
-            data += container.make_block_index(
-                offsets, stride=index_stride
-            )
+            data = self._append_block_index(data, block_bits, index_stride)
         return data
 
     # -- device entropy decode (TICX chunk-parallel, pure XLA) ---------
@@ -481,14 +483,17 @@ class Engine:
         jax = self._jax
         jnp = jax.numpy
 
-        from .ops.entropy_decode import entropy_decode_chunks
+        from .ops.entropy_decode import (
+            entropy_decode_chunks,
+            unflatten_tables,
+        )
 
         def entropy(words, starts, blocks_c, bases, lo, hi, *tabs):
             # tabs: 8 runtime table tensors for dynamic-table streams
-            # (mincode/maxcode/valptr/huffval x DC/AC) -- empty for the
-            # standard tables, whose XLA program is pinned byte-equal
-            # to the standard-only design (tables constant-fold)
-            tables = (tuple(tabs[:4]), tuple(tabs[4:])) if custom else None
+            # (flatten_tables order) -- empty for the standard tables,
+            # whose XLA program is pinned byte-equal to the
+            # standard-only design (tables constant-fold)
+            tables = unflatten_tables(tabs) if custom else None
             return entropy_decode_chunks(
                 words, starts, blocks_c, bases, lo, hi,
                 nb_total=b * nb, stride=stride, max_symbols=max_symbols,
@@ -518,11 +523,14 @@ class Engine:
         exact worst-case bound, unpaired, which always finishes)."""
         jax = self._jax
 
-        from .ops.entropy_decode import entropy_decode_chunks
+        from .ops.entropy_decode import (
+            entropy_decode_chunks,
+            unflatten_tables,
+        )
 
         def resume(words, starts, blocks_c, bases, lo, hi, *rest):
             st, tabs = rest[:5], rest[5:]
-            tables = (tuple(tabs[:4]), tuple(tabs[4:])) if custom else None
+            tables = unflatten_tables(tabs) if custom else None
             return entropy_decode_chunks(
                 words, starts, blocks_c, bases, lo, hi,
                 nb_total=b * nb, stride=stride, max_symbols=max_symbols,
@@ -566,8 +574,10 @@ class Engine:
         custom = prep["tables"] is not None
         tab_args = ()
         if custom:
+            from .ops.entropy_decode import flatten_tables
+
             tab_args = tuple(
-                jnp.asarray(a) for t in prep["tables"] for a in t
+                jnp.asarray(a) for a in flatten_tables(prep["tables"])
             )
         # Budgeted first pass + CONTINUATION: the slot buffers (and the
         # post-chain phases, O(budget * chunks)) size to the batch's

@@ -188,6 +188,21 @@ def canonical_tables(tables: dict):
     return dc, ac
 
 
+def flatten_tables(tables):
+    """((dc), (ac)) decode tuples -> flat 8-tuple for jit arg passing.
+
+    Single source of the argument order (mincode, maxcode, valptr,
+    huffval for DC then AC); :func:`unflatten_tables` is the inverse
+    used inside the jitted programs."""
+    return tuple(a for t in tables for a in t)
+
+
+def unflatten_tables(flat):
+    """Inverse of :func:`flatten_tables`; empty input -> None (the
+    standard-table constant path)."""
+    return (tuple(flat[:4]), tuple(flat[4:])) if flat else None
+
+
 def _code_len(w16, maxcode):
     """Length of the canonical codeword in the high bits of w16.
 
@@ -833,10 +848,23 @@ def prepare_batch(streams: list[bytes]):
                 return None
             if tables0 is None:
                 tables0 = tables
+                # admission BEFORE any payload realignment: an
+                # inadmissible table (extended-range / non-canonical /
+                # >16-bit) rejects in O(table) instead of re-packing
+                # every payload first
+                tabs0 = canonical_tables(tables0)
+                if tabs0 is None:
+                    return None
             elif tables != tables0:  # one table per compiled batch
                 return None
-            payload = bits_to_bytes(reader._bits[payload_off:pay_end * 8])
             pay_bits_true = pay_end * 8 - payload_off
+            # parse_block_index's off[-1] bound over-counts by the
+            # table-segment bits on custom streams; re-validate against
+            # the TRUE payload length so a corrupt trailer degrades to
+            # the serial host cursor instead of mis-chunking
+            if off[-1] >= pay_bits_true:
+                return None
+            payload = bits_to_bytes(reader._bits[payload_off:pay_end * 8])
         else:
             payload = data[HEADER_BYTES:pay_end]
             pay_bits_true = len(payload) * 8
@@ -846,11 +874,7 @@ def prepare_batch(streams: list[bytes]):
         return None
     if any(m[5] != metas[0][5] for m in metas):  # uniform flags
         return None
-    tabs = None
-    if tables0 is not None:
-        tabs = canonical_tables(tables0)
-        if tabs is None:  # non-canonical / >16-bit / extended-range
-            return None
+    tabs = tabs0 if tables0 is not None else None
 
     word_chunks = []
     starts, blocks, bases, end_lo, end_hi, img_of = [], [], [], [], [], []
